@@ -1,0 +1,29 @@
+"""Sketch implementations; importing this package registers all blob
+types with the merge registry (sketchlib.sketches.base)."""
+
+from sketchlib.sketches.base import register
+from sketchlib.sketches.cm import CMConfig, CountMin, OfflineCountMin
+
+register(CountMin)
+register(OfflineCountMin)
+
+try:  # registered as they land
+    from sketchlib.sketches.hll import HyperLogLog
+    register(HyperLogLog)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.bloom import BloomFilter
+    register(BloomFilter)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.tdigest import TDigest
+    register(TDigest)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.kll import KLL
+    register(KLL)
+except ImportError:
+    pass
