@@ -1,0 +1,183 @@
+"""Offline (multi-round) CM orchestrator — the reference's flagship.
+
+Re-expresses the reference driver loop (reference: main.cpp:35-90) for
+Spark: the driver holds the small round state, each pass is one Spark
+job over the token DataFrame, and per-round state moves via broadcast
+(driver -> executors) and treeReduce (executors -> driver):
+
+  OCM (plain offline, main.cpp:35-62):
+    round r>0: collision pass — broadcast previous round's (core,
+      collision); executors compute order-independent collision flags
+      against that *frozen* state (include/ocm.h:350-377 semantics with
+      the in-pass mutation removed — documented variant, SURVEY.md
+      §7.5); flags OR-merge via treeReduce; driver applies
+      collision = max(collision, flag * (r-1)).
+    every round: count pass — broadcast frozen collision table;
+      executors run the plain offline count (include/ocm.h:283-299),
+      which is order-independent given frozen collisions, so partials
+      sum-merge EXACTLY like plain CM (distributed == sequential
+      bit-exact for this variant).
+
+  OCCM (conservative offline, main.cpp:63-90, effective semantics —
+    the r>0 pre-pass is dead code, SURVEY.md O16):
+    every round: one combined count+collision pass
+      (include/ocm.h:301-348); per-partition sequential-equivalent
+      batch kernel; merge core by sum, collision by max. Order-
+      dependent like conservative CM; keeps est >= true.
+
+Checkpoint/resume: after each completed pass the merged state is
+committed to a CheckpointStore snapshot with per-partition lineage;
+a rerun resumes from the latest committed pass.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from sketchlib.io import CheckpointStore, Snapshot, sketch_fill_metrics
+from sketchlib.sketches.cm import CMConfig, OfflineCountMin
+
+_U64 = np.uint64
+
+
+def _vals_u64(pdf: pd.Series) -> np.ndarray:
+    arr = pdf.to_numpy()
+    return arr.view(_U64) if arr.dtype == np.int64 else arr.astype(_U64)
+
+
+def _config_key(cfg: CMConfig, rounds: int) -> str:
+    return f"np{cfg.np_bits}_nh{cfg.nh}_s{cfg.seed}_{'occm' if cfg.conservative else 'ocm'}_n{rounds}"
+
+
+class _PassResult:
+    def __init__(self, state: OfflineCountMin, lineage: list[dict]):
+        self.state = state
+        self.lineage = lineage
+
+
+def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
+              round_: int, total_round: int,
+              state: OfflineCountMin, tree_depth: int = 2) -> _PassResult:
+    """One full-input Spark job; kind in {'count', 'collision', 'occm'}."""
+    sc = df.sparkSession.sparkContext
+    b_coll = sc.broadcast(state.collision)
+    b_core = sc.broadcast(state.core if kind == "collision" else None)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        local = OfflineCountMin(cfg)
+        local.collision = b_coll.value.copy()
+        rows = 0
+        if kind == "collision":
+            flags = np.zeros_like(local.collision, dtype=bool)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows += len(pdf)
+                flags |= local.mark_collisions_batch(
+                    _vals_u64(pdf[col]), round_, b_core.value, b_coll.value)
+            payload = np.packbits(flags.reshape(-1)).tobytes()
+        else:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows += len(pdf)
+                v = _vals_u64(pdf[col])
+                if kind == "count":
+                    local.update_count_batch(v)
+                else:  # occm combined
+                    local.update_count_collision_batch(v, round_, total_round)
+            # ship only deltas implied by kernel type: core (sum-merge)
+            # and collision (max-merge)
+            payload = local.to_bytes()
+        yield pd.DataFrame({"pid": [pid], "rows": [rows],
+                            "payload": [payload]})
+
+    parts = df.select(col).mapInPandas(
+        partial, schema="pid int, rows long, payload binary")
+    # lineage rides along the reduce (a driver-side collect of the
+    # payloads would defeat the tree merge at cluster scale)
+    rows = parts.rdd.map(
+        lambda r: ([{"partition_id": int(r.pid), "rows": int(r.rows)}],
+                   bytes(r.payload)))
+
+    if kind == "collision":
+        def merge(a, b):
+            return (a[0] + b[0],
+                    bytes(np.bitwise_or(np.frombuffer(a[1], dtype=np.uint8),
+                                        np.frombuffer(b[1], dtype=np.uint8))))
+    else:
+        def merge(a, b):
+            sa = OfflineCountMin.from_bytes(a[1])
+            sa.merge(OfflineCountMin.from_bytes(b[1]))
+            return (a[0] + b[0], sa.to_bytes())
+
+    lineage, payload = rows.treeReduce(merge, depth=tree_depth)
+
+    if kind == "collision":
+        nbits = state.collision.size
+        flags = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8))[:nbits].astype(bool)
+        flags = flags.reshape(state.collision.shape)
+        state.collision = np.maximum(
+            state.collision,
+            np.where(flags, np.int32(round_ - 1), np.int32(0)))
+        new_state = state
+    else:
+        agg = OfflineCountMin.from_bytes(payload)
+        # partials each started from the broadcast collision table; the
+        # max-merge keeps it plus any new marks (occm); core summed.
+        new_state = agg
+    b_coll.destroy()
+    b_core.destroy()
+    return _PassResult(new_state, lineage)
+
+
+def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
+                  checkpoint_dir: str | None = None,
+                  tree_depth: int = 2) -> OfflineCountMin:
+    """Multi-round OCM/OCCM build over ``df[col]`` (int64/uint64 tokens).
+
+    With ``checkpoint_dir``, each completed pass commits a snapshot and
+    a rerun resumes from the last committed pass (bit-identical result
+    to an uninterrupted run — tested).
+    """
+    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+    key = _config_key(cfg, rounds)
+    state = OfflineCountMin(cfg)
+
+    def passes():
+        for r in range(rounds):
+            if not cfg.conservative:
+                if r > 0:
+                    yield r, "collision"
+                yield r, "count"
+            else:
+                yield r, "occm"
+
+    for r, kind in passes():
+        snap_id = f"{key}_r{r}_{kind}"
+        if store is not None:
+            found = store.find(snap_id)
+            if found is not None:
+                state = OfflineCountMin.from_bytes(found[1])
+                continue
+        if kind in ("count", "occm"):
+            state.clear_core()  # main.cpp:49/76: zero counters, keep marks
+        res = _run_pass(df, col, cfg, kind, r, rounds, state, tree_depth)
+        state = res.state
+        if store is not None:
+            store.commit(
+                Snapshot(snapshot_id=snap_id,
+                         config=json.loads(json.dumps(cfg.__dict__)),
+                         round_=r, pass_name=kind, blob_file="",
+                         lineage=res.lineage,
+                         metrics=sketch_fill_metrics(state.core)),
+                state.to_bytes())
+    return state
