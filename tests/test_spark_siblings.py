@@ -1,0 +1,90 @@
+"""Distributed builds of HLL / Bloom / t-digest / KLL through the same
+harness, cross-checked against exact oracles and Spark built-ins
+(`approx_count_distinct`, `percentile_approx`) per SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.aggregate import build_grouped_sketches, build_sketch
+from sketchlib.sketches.bloom import BloomFilter
+from sketchlib.sketches.hll import HyperLogLog
+from sketchlib.sketches.kll import KLL
+from sketchlib.sketches.tdigest import TDigest
+from sketchlib.sketches.base import deserialize
+from sketchlib.synth import transcripts
+from sketchlib.tokenize import transcript_tokens
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    t = transcript_tokens(transcripts(spark, 250, seed=5, partitions=5)).cache()
+    t.count()
+    return t
+
+
+def test_hll_distributed_vs_exact_and_builtin(spark, tokens):
+    hll = build_sketch(tokens, "token_u64", partial(HyperLogLog, 14))
+    exact = tokens.select("token_u64").distinct().count()
+    est = hll.estimate()
+    assert abs(est - exact) / exact < 4 * hll.relative_error
+    builtin = tokens.agg(
+        F.approx_count_distinct("token_u64").alias("d")).collect()[0]["d"]
+    assert abs(builtin - exact) / exact < 0.05  # sanity on the oracle
+
+
+def test_hll_distributed_bitexact_registers(spark, tokens):
+    """HLL registers are max-merged => distributed == sequential."""
+    dist = build_sketch(tokens.repartition(9), "token_u64",
+                        partial(HyperLogLog, 12))
+    vals = tokens.select("token_u64").toPandas()["token_u64"].to_numpy()
+    seq = HyperLogLog(12)
+    seq.update(vals.view(np.uint64))
+    np.testing.assert_array_equal(dist.registers, seq.registers)
+
+
+def test_bloom_distributed_membership(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    bf = build_sketch(li.select(F.col("l_partkey").alias("k")), "k",
+                      partial(BloomFilter, 20, 4))
+    present = (li.select("l_partkey").distinct()
+               .toPandas()["l_partkey"].to_numpy().view(np.uint64))
+    assert bf.contains(present).all()
+    absent = (np.arange(10**9, 10**9 + 20_000)).astype(np.uint64)
+    assert bf.contains(absent).mean() < 0.01
+
+
+def test_quantiles_distributed_vs_exact_and_builtin(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    col = li.select(F.col("l_extendedprice").alias("v"))
+    td = build_sketch(col, "v", partial(TDigest, 200.0), as_u64=False)
+    kll = build_sketch(col, "v", partial(KLL, 200), as_u64=False)
+    vals = np.sort(col.toPandas()["v"].to_numpy())
+    n = len(vals)
+    assert td.count == n and kll.count == n
+    for q in (0.1, 0.5, 0.9):
+        for est in (td.quantile(q), kll.quantile(q)):
+            rank = np.searchsorted(vals, est) / n
+            assert abs(rank - q) < 0.03, (q, rank, est)
+    builtin = li.agg(F.percentile_approx("l_extendedprice", 0.5)).collect()[0][0]
+    rank_b = np.searchsorted(vals, builtin) / n
+    assert abs(rank_b - 0.5) < 0.02
+
+
+def test_grouped_sketches_per_key(spark, tokens):
+    out = build_grouped_sketches(
+        tokens.withColumn("kind", F.substring("token", 1, 1)),
+        ["kind"], "token_u64", partial(HyperLogLog, 12)).collect()
+    kinds = {r["kind"]: deserialize(bytes(r["sketch"])) for r in out}
+    assert set(kinds) == {"w", "t", "r"}
+    exact_roles = (tokens.filter(F.col("token").startswith("r:"))
+                   .select("token_u64").distinct().count())
+    est = kinds["r"].estimate()
+    assert abs(est - exact_roles) <= max(2, 4 * kinds["r"].relative_error * exact_roles)
