@@ -1,38 +1,461 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline ops) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` gives the DuckDB-checkable equivalent where
+the operator is SQL-expressible. Sketch queries are exposed in their
+*exact regimes* (collision-free CM width, no-compaction KLL) so the
+oracle comparison is a strict equality gate; the approximate regimes
+are property-tested in tests/ (error bounds, merge algebra).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sketchlib.sketches.cm import CMConfig
+from sketchlib import queries as Q
+from sketchlib import dedup as D
+from sketchlib import textstats as TS
+from sketchlib import ann as A
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# helpers shared by Spark query and oracle definitions
+# --------------------------------------------------------------------------
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents plus a re-keyed copy of every 10th doc — deterministic
+    duplicates for the dedup operators (both engines build the same)."""
+    copies = (docs.filter(F.col("doc_id") % 10 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return docs.unionByName(copies)
+
+
+_DUP_SQL = ("(SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0)")
+
+_TOKENS_SQL = ("(SELECT doc_id, t AS token FROM (SELECT doc_id, "
+               "unnest(string_split_regex(lower(text), '\\s+')) AS t "
+               "FROM documents) WHERE t <> '')")
+
+_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_cm_event_type_freq(spark, sf_dir):
+    """O6/O8: plain CM point frequency, collision-free width => exact."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=False)
+    return (Q.cm_point_frequency(spark, ev, "event_type", cfg)
+            .orderBy("key"))
+
+
+def q_cm_conservative_user_freq(spark, sf_dir):
+    """O7: conservative CM; exact at collision-free width."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=True)
+    return (Q.cm_point_frequency(spark, ev, "user_id", cfg)
+            .orderBy("key"))
+
+
+def q_occm_user_freq(spark, sf_dir):
+    """O9-O16 flagship: 3-round offline conservative CM (OCCM)."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=True)
+    return (Q.cm_point_frequency(spark, ev, "user_id", cfg, offline_rounds=3)
+            .orderBy("key"))
+
+
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """L11/L12: two-pass heavy hitters with exact recount."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.normalized_tokens(docs)
+    return Q.heavy_hitters(toks, "token", 20)
+
+
+def q_hll_distinct_tokens(spark, sf_dir):
+    """L1: HLL distinct estimate (rows-only check; bound-tested in CI)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.normalized_tokens(docs)
+    return Q.approx_distinct(spark, toks, "token", p=14)
+
+
+def q_distinct_tokens_per_lang(spark, sf_dir):
+    """exact grouped distinct (oracle for the HLL sibling)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.normalized_tokens(docs.select("doc_id", "lang", "text"),
+                               id_col="doc_id", text_col="text")
+    with_lang = toks.join(docs.select("doc_id", "lang"), "doc_id")
+    return (with_lang.groupBy("lang")
+            .agg(F.countDistinct("token").alias("n_distinct"))
+            .orderBy("lang"))
+
+
+def q_bloom_member_custkeys(spark, sf_dir):
+    """L8: Bloom membership of high-balance customers, probed with
+    order custkeys (FP-free at this width — deterministic)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    probe = (_t(spark, sf_dir, "orders").select("o_custkey").distinct()
+             .orderBy("o_custkey").limit(500))
+    return (Q.bloom_membership(spark, cust, "c_custkey", probe, "o_custkey",
+                               p=22, nh=6)
+            .orderBy("o_custkey"))
+
+
+def q_kll_quantiles_price(spark, sf_dir):
+    """L13/KLL in its exact regime (capacity >= n at sf<=0.01):
+    quantile q = smallest value with rank >= ceil(q*n)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
+                              kind="kll", k=1 << 17)
+
+
+def q_tdigest_quantiles_value(spark, sf_dir):
+    """L13/t-digest (approximate; rows-only, bound-tested in CI)."""
+    ev = _t(spark, sf_dir, "events")
+    return Q.sketch_quantiles(spark, ev, "value", _QS, kind="tdigest")
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return (D.exact_duplicates(docs)
+            .orderBy("fingerprint"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return (D.minhash_dedup_pairs(docs, threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return (D.jaccard_pairs(docs, threshold=0.6)
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs).orderBy("doc_id")
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    docs = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return (A.cosine_topk(emb, qs, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return (A.ann_topk_lsh(emb, qs, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def q_lang_id(spark, sf_dir):
+    return TS.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_token_stats(spark, sf_dir):
+    return TS.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    return TS.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return (TS.fingerprints(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "md5_fp").orderBy("doc_id"))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """agg breadth (TPC-H Q1 shape) with exact decimal arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (li.filter(F.col("l_shipdate") <= "2001-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(d("l_extendedprice")).cast("double")
+                  .alias("sum_base_price"),
+                 F.sum((d("l_extendedprice")
+                        * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                       .cast("decimal(24,4)")).cast("double")
+                  .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_customers_window(spark, sf_dir):
+    """join + window breadth: top-3 customers by order value per
+    nation (decimal-exact)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("spend")))
+    j = cust.join(spend, cust.c_custkey == spend.o_custkey)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.col("spend").desc(), F.col("c_custkey").asc()))
+    return (j.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("c_nationkey", "c_custkey",
+                    F.col("spend").cast("double").alias("spend"), "rnk")
+            .orderBy("c_nationkey", "rnk"))
+
+
+def q_user_sessions(spark, sf_dir):
+    """sessionization breadth: 30-min-gap sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w)))
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
+    return (sess.groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cm_event_type_freq": q_cm_event_type_freq,
+        "cm_conservative_user_freq": q_cm_conservative_user_freq,
+        "occm_user_freq": q_occm_user_freq,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
+        "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
+        "bloom_member_custkeys": q_bloom_member_custkeys,
+        "kll_quantiles_price": q_kll_quantiles_price,
+        "tdigest_quantiles_value": q_tdigest_quantiles_value,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "doc_fingerprints": q_doc_fingerprints,
+        "pricing_summary": q_pricing_summary,
+        "top_customers_window": q_top_customers_window,
+        "user_sessions": q_user_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = {
+        "en": ["the", "a", "of", "and", "to", "in", "is"],
+        "es": ["el", "la", "de", "que", "y", "en", "un"],
+        "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+        "fr": ["le", "la", "de", "et", "un", "est", "que"],
+    }
+    langs = sorted(sw)
+
+    def hits(lg):
+        lst = ", ".join(f"'{w}'" for w in sw[lg])
+        return ("len(list_filter(string_split_regex(lower(text), '\\s+'), "
+                f"t -> list_contains([{lst}], t)))")
+
+    lang_best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    lang_pred = "CASE "
+    for lg in langs:
+        lang_pred += f"WHEN hits_{lg} = best AND best > 0 THEN '{lg}' "
+    lang_pred += "ELSE 'und' END"
+
+    shingle_sql = (
+        "(SELECT doc_id, shingle FROM ("
+        " SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle"
+        " FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks"
+        f"       FROM {_DUP_SQL} d),"
+        "      LATERAL (SELECT unnest(range(0, greatest(len(toks)-2, 0)))"
+        "               AS i)"
+        ") WHERE shingle <> '' GROUP BY doc_id, shingle)")
+
+    jaccard_core = f"""
+WITH sh AS {shingle_sql},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 1e6) / 1e6
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {{thr}}
+ORDER BY id_a, id_b"""
+
+    quantile_sql = f"""
+WITH s AS (SELECT l_extendedprice AS v,
+                  row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM lineitem),
+qs AS (SELECT unnest([{', '.join(str(q) for q in _QS)}]) AS q)
+SELECT q, v AS value FROM qs JOIN s
+  ON s.rn = CAST(ceil(q * s.n) AS BIGINT)
+ORDER BY q"""
+
+    return {
+        "cm_event_type_freq": (
+            "SELECT event_type AS key, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "cm_conservative_user_freq": (
+            "SELECT user_id AS key, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "occm_user_freq": (
+            "SELECT user_id AS key, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "heavy_hitter_tokens": (
+            f"SELECT token, COUNT(*) AS cnt FROM {_TOKENS_SQL} tk "
+            "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"),
+        "distinct_tokens_per_lang": (
+            "SELECT d.lang, COUNT(DISTINCT tk.token) AS n_distinct "
+            f"FROM {_TOKENS_SQL} tk JOIN documents d USING (doc_id) "
+            "GROUP BY d.lang ORDER BY d.lang"),
+        "bloom_member_custkeys": (
+            "SELECT o_custkey, o_custkey IN "
+            " (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
+            " AS maybe_member "
+            "FROM (SELECT DISTINCT o_custkey FROM orders "
+            "      ORDER BY o_custkey LIMIT 500) "
+            "ORDER BY o_custkey"),
+        "kll_quantiles_price": quantile_sql,
+        "dedup_exact": (
+            "SELECT md5(lower(text)) AS fingerprint, COUNT(*) AS n_dups, "
+            f"MIN(doc_id) AS min_id FROM {_DUP_SQL} d "
+            "GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint"),
+        "dedup_minhash": jaccard_core.format(thr=0.9),
+        "dedup_ngram_jaccard": jaccard_core.format(thr=0.6),
+        "ann_cosine_topk": """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, b.v) AS sim
+  FROM qs CROSS JOIN base b WHERE b.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, floor(sim * 1e6) / 1e6 AS sim, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+        "lang_id": (
+            "SELECT doc_id, " + lang_pred + " AS pred_lang, "
+            "best AS stopword_hits FROM ("
+            " SELECT doc_id, " + ", ".join(f"hits_{lg}" for lg in langs)
+            + ", " + lang_best + " AS best FROM ("
+            "  SELECT doc_id, "
+            + ", ".join(f"{hits(lg)} AS hits_{lg}" for lg in langs)
+            + "  FROM documents)) ORDER BY doc_id"),
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "    t -> t <> '')) AS n_tokens, "
+            "len(regexp_extract_all(lower(text), "
+            "    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_pieces, "
+            "length(text) AS n_chars "
+            "FROM documents ORDER BY doc_id"),
+        "quality_score": (
+            "SELECT doc_id, n_tokens, "
+            " floor(((n_chars - (n_tokens - 1)) * 1.0 / n_tokens) * 1e6) / 1e6"
+            "   AS mean_token_len, "
+            " floor((sw * 1.0 / n_tokens) * 1e6) / 1e6 AS stopword_ratio, "
+            " floor((n_alnum * 1.0 / n_chars) * 1e6) / 1e6 AS alnum_ratio, "
+            " floor((0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 "
+            "                    THEN 1.0 ELSE 0.0 END)"
+            "        + 0.3 * least((sw * 1.0 / n_tokens) * 10.0, 1.0)"
+            "        + 0.3 * (n_alnum * 1.0 / n_chars)) * 1e6) / 1e6"
+            "   AS quality_score "
+            "FROM ("
+            " SELECT doc_id, "
+            "  len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "      t -> t <> '')) AS n_tokens, "
+            "  length(text) AS n_chars, "
+            "  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) "
+            "    AS n_alnum, "
+            + " + ".join(hits(lg) for lg in langs) + " AS sw "
+            " FROM documents) ORDER BY doc_id"),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(lower(text)) AS md5_fp "
+            "FROM documents ORDER BY doc_id"),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "top_customers_window": """
+WITH spend AS (SELECT o_custkey,
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+               FROM orders GROUP BY o_custkey),
+j AS (SELECT c.c_nationkey, c.c_custkey, s.spend,
+             row_number() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY s.spend DESC, c.c_custkey ASC)
+               AS rnk
+      FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey)
+SELECT c_nationkey, c_custkey, CAST(spend AS DOUBLE) AS spend, rnk FROM j
+WHERE rnk <= 3 ORDER BY c_nationkey, rnk""",
+        "user_sessions": """
+WITH w AS (SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+SELECT user_id,
+       sum(CASE WHEN prev_ts IS NULL
+                 OR date_diff('second', prev_ts, ts) > 1800
+                THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM w GROUP BY user_id ORDER BY user_id""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship on sf0.001: token heavy-hitters with conservative-CM
+    estimates over the documents corpus — exercises tokenize -> build
+    -> merge -> probe -> verify end-to-end (SURVEY.md §7.6)."""
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    toks = D.normalized_tokens(docs)
+    hh = Q.heavy_hitters(toks, "token", 25)
+    cfg = CMConfig(np_bits=18, nh=5, seed=137, conservative=True)
+    est = Q.cm_point_frequency(spark, toks, "token", cfg)
+    return (hh.join(est, hh.token == est.key)
+            .select("token", "cnt", "est_count")
+            .orderBy(F.col("cnt").desc(), F.col("token").asc()))

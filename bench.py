@@ -1,0 +1,104 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "throughput": {...}}
+
+The sketch-build throughput entries are the numbers comparable to the
+reference's single-thread build (BASELINE.md: ~2.5 M updates/s for the
+conservative CM count pass); ours is measured over the same kind of
+update stream but built distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from sketchlib.aggregate import build_sketch
+    from sketchlib.offline import build_offline
+    from sketchlib.session import get_spark
+    from sketchlib.sketches.cm import CMConfig, CountMin
+    from sketchlib.synth import transcripts
+    from sketchlib.tokenize import balanced_repartition, transcript_tokens
+
+    spark = get_spark("sketchlib-bench", cpus=cpus,
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    # ---- headline driver-contract queries (subset sized for sf0.1) ----
+    qs = E.queries()
+    for name in ["cm_event_type_freq", "cm_conservative_user_freq",
+                 "occm_user_freq", "heavy_hitter_tokens",
+                 "hll_distinct_tokens", "kll_quantiles_price",
+                 "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
+                 "simhash_fingerprints", "ann_cosine_topk", "ann_lsh_topk",
+                 "lang_id", "quality_score", "pricing_summary",
+                 "top_customers_window", "user_sessions"]:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        assert n >= 0
+
+    # ---- sketch-build throughput over synthetic transcripts ----------
+    n_convs = int(os.environ.get("SKETCHLIB_BENCH_CONVS", "20000"))
+    tdf = transcripts(spark, n_convs, seed=42,
+                      partitions=max(cpus, 16)).cache()
+    n_turns = tdf.count()  # materialize outside the timed window
+    toks = transcript_tokens(tdf).cache()
+    n_updates = toks.count()
+
+    cfg = CMConfig(np_bits=20, nh=7, seed=137, conservative=True)
+    t0 = time.time()
+    build_sketch(toks, "token_u64", partial(CountMin, cfg),
+                 pre_aggregate=True)
+    dt = time.time() - t0
+    timings["cm_build_transcripts"] = round(dt, 3)
+    throughput["turns_per_sec"] = round(n_turns / dt, 1)
+    throughput["cm_updates_per_sec"] = round(n_updates / dt, 1)
+    throughput["n_turns"] = n_turns
+    throughput["n_updates"] = n_updates
+
+    t0 = time.time()
+    build_offline(toks, "token_u64", cfg, 3, pre_aggregate=True)
+    timings["occm_build_transcripts_3r"] = round(time.time() - t0, 3)
+    throughput["occm_updates_per_sec_per_pass"] = round(
+        3 * n_updates / timings["occm_build_transcripts_3r"], 1)
+
+    tdf.unpersist()
+    toks.unpersist()
+    spark.stop()
+
+    out = {
+        "metric": "headline query suite + CM sketch-build throughput",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "throughput": throughput,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

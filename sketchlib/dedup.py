@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything stays JVM-side (explode / xxhash64 / groupBy / joins) so
+Catalyst plans the shuffles; the only Python is driver-side plan
+construction. The MinHash signature trick: ``xxhash64(shingle_hash,
+perm_id)`` is an independent 64-bit hash family indexed by perm —
+min-aggregated per doc entirely in whole-stage codegen.
+
+Scale notes (100 TB): the LSH band join is an equi-join on
+(band_id, band_key) — no cross product; candidate verification is a
+shingle-set semi-join restricted to candidate pairs. Exact dedup is a
+single hash aggregation on a fingerprint column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def normalized_tokens(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, pos, token) — lowercased whitespace tokens."""
+    return (df.select(id_col,
+                      F.posexplode(F.split(F.lower(F.col(text_col)),
+                                           TOKEN_SPLIT))
+                       .alias("pos", "token"))
+              .filter(F.col("token") != ""))
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(id, shingle) distinct n-word shingles (n-grams of tokens)."""
+    toks = (df.select(id_col,
+                      F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+                       .alias("toks")))
+    # JVM-side n-gram assembly over the token array
+    sh = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
+        )).alias("shingle"))
+    return sh.filter(F.col("shingle") != "").distinct()
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical normalized text: (fingerprint, n_dups,
+    min_id). One hash aggregation — the 100 TB-scale exact pass."""
+    fp = df.select(F.md5(F.lower(F.col(text_col))).alias("fingerprint"),
+                   F.col(id_col).alias("id"))
+    return (fp.groupBy("fingerprint")
+              .agg(F.count("*").alias("n_dups"),
+                   F.min("id").alias("min_id"))
+              .filter(F.col("n_dups") > 1))
+
+
+def minhash_signatures(df: DataFrame, n_perm: int = 64, shingle_n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig_0..sig_{n_perm-1}) MinHash signature, fully JVM-side."""
+    sh = shingles(df, shingle_n, id_col, text_col)
+    sh = sh.withColumn("sh64", F.xxhash64("shingle"))
+    aggs = [F.min(F.xxhash64(F.col("sh64"), F.lit(p))).alias(f"sig_{p}")
+            for p in range(n_perm)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows = n_perm/bands) and equi-join matching
+    buckets: returns distinct (id_a, id_b), id_a < id_b."""
+    n_perm = len([c for c in sigs.columns if c.startswith("sig_")])
+    rows = n_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.xxhash64(*cols).alias("key")))
+    banded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+                  .select(id_col, "bk.band", "bk.key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band", "key"])
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, shingle_n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram-Jaccard similar pairs: (id_a, id_b, jaccard).
+
+    Without ``candidates`` this is the all-pairs shingle join (the
+    exact oracle); with candidates (from LSH) the join is restricted —
+    the scale path."""
+    sh = shingles(df, shingle_n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "shingle")
+              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count("*").alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")))
+
+
+def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
+                        n_perm: int = 64, bands: int = 16,
+                        shingle_n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """MinHash LSH candidates verified by exact Jaccard — the standard
+    near-dup pipeline (signature scan -> band join -> verify)."""
+    sigs = minhash_signatures(df, n_perm, shingle_n, id_col, text_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    return jaccard_pairs(df, threshold, shingle_n, id_col, text_col,
+                         candidates=cands)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per doc: per-bit majority vote of
+    token-hash bits, token weight = term frequency. JVM-side: 64
+    conditional sums over the exploded token stream."""
+    toks = normalized_tokens(df, id_col, text_col)
+    h = toks.withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(F.when((F.shiftright("h", j).bitwiseAND(F.lit(1))) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{j}") > 0,
+               F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63))
+               ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    fingerprint = bit_terms[0]
+    for t in bit_terms[1:]:
+        fingerprint = fingerprint + t
+    return agg.select(id_col, fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
+    chunks (a pair within distance<=3 shares at least one of 4 chunks
+    exactly — pigeonhole), so no cross join."""
+    sh = simhash(df, id_col, text_col)
+    chunks = [((F.shiftrightunsigned("simhash", 16 * c))
+               .bitwiseAND(F.lit(0xFFFF))).alias(f"c{c}") for c in range(4)]
+    blocked = sh.select(id_col, "simhash", *chunks)
+    blocks = blocked.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val"))
+            for c in range(4)])).alias("b")
+    ).select(id_col, "simhash", "b.chunk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (a.join(b, ["chunk", "val"])
+              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.simhash").alias("sa"),
+                      F.col("b.simhash").alias("sb"))
+              .distinct())
+    return (pairs.withColumn(
+                "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

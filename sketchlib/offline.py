@@ -62,8 +62,12 @@ class _PassResult:
 
 def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
               round_: int, total_round: int,
-              state: OfflineCountMin, tree_depth: int = 2) -> _PassResult:
-    """One full-input Spark job; kind in {'count', 'collision', 'occm'}."""
+              state: OfflineCountMin, tree_width: int = 8,
+              weighted: bool = False) -> _PassResult:
+    """One full-input Spark job; kind in {'count', 'collision', 'occm'}.
+
+    ``weighted`` means ``df`` is pre-grouped (col, __cnt) pairs — the
+    scale path where the JVM hash aggregate did the counting."""
     sc = df.sparkSession.sparkContext
     b_coll = sc.broadcast(state.collision)
     b_core = sc.broadcast(state.core if kind == "collision" else None)
@@ -79,7 +83,7 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                rows += len(pdf)
+                rows += int(pdf["__cnt"].sum()) if weighted else len(pdf)
                 flags |= local.mark_collisions_batch(
                     _vals_u64(pdf[col]), round_, b_core.value, b_coll.value)
             payload = np.packbits(flags.reshape(-1)).tobytes()
@@ -87,38 +91,61 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                rows += len(pdf)
+                w = pdf["__cnt"].to_numpy() if weighted else None
+                rows += int(w.sum()) if weighted else len(pdf)
                 v = _vals_u64(pdf[col])
                 if kind == "count":
-                    local.update_count_batch(v)
+                    local.update_count_batch(v, weights=w)
                 else:  # occm combined
-                    local.update_count_collision_batch(v, round_, total_round)
+                    local.update_count_collision_batch(v, round_, total_round,
+                                                       weights=w)
             # ship only deltas implied by kernel type: core (sum-merge)
             # and collision (max-merge)
             payload = local.to_bytes()
-        yield pd.DataFrame({"pid": [pid], "rows": [rows],
+        yield pd.DataFrame({"lineage": [json.dumps(
+                                [{"partition_id": pid, "rows": rows}])],
                             "payload": [payload]})
 
-    parts = df.select(col).mapInPandas(
-        partial, schema="pid int, rows long, payload binary")
-    # lineage rides along the reduce (a driver-side collect of the
-    # payloads would defeat the tree merge at cluster scale)
-    rows = parts.rdd.map(
-        lambda r: ([{"partition_id": int(r.pid), "rows": int(r.rows)}],
-                   bytes(r.payload)))
+    cols = [col, "__cnt"] if weighted else [col]
+    parts = df.select(*cols).mapInPandas(
+        partial, schema="lineage string, payload binary")
 
-    if kind == "collision":
-        def merge(a, b):
-            return (a[0] + b[0],
-                    bytes(np.bitwise_or(np.frombuffer(a[1], dtype=np.uint8),
-                                        np.frombuffer(b[1], dtype=np.uint8))))
-    else:
-        def merge(a, b):
-            sa = OfflineCountMin.from_bytes(a[1])
-            sa.merge(OfflineCountMin.from_bytes(b[1]))
-            return (a[0] + b[0], sa.to_bytes())
+    # tree stage on the Arrow path (no RDD/pickle round trip); lineage
+    # rides along as JSON so no second job is needed
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lin: list = []
+        acc = None
+        for pdf in batches:
+            for lg, pl in zip(pdf["lineage"], pdf["payload"]):
+                lin.extend(json.loads(lg))
+                pl = bytes(pl)
+                if kind == "collision":
+                    arr = np.frombuffer(pl, dtype=np.uint8)
+                    acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+                else:
+                    sk = OfflineCountMin.from_bytes(pl)
+                    acc = sk if acc is None else acc.merge(sk)
+        if acc is not None:
+            out = acc.tobytes() if kind == "collision" else acc.to_bytes()
+            yield pd.DataFrame({"lineage": [json.dumps(lin)],
+                                "payload": [out]})
 
-    lineage, payload = rows.treeReduce(merge, depth=tree_depth)
+    folded = (parts.repartition(tree_width)
+                   .mapInPandas(fold, schema="lineage string, payload binary")
+                   .toPandas())
+    lineage: list = []
+    payload = None
+    for lg, pl in zip(folded["lineage"], folded["payload"]):
+        lineage.extend(json.loads(lg))
+        pl = bytes(pl)
+        if payload is None:
+            payload = pl
+        elif kind == "collision":
+            payload = bytes(np.bitwise_or(np.frombuffer(payload, np.uint8),
+                                          np.frombuffer(pl, np.uint8)))
+        else:
+            sk = OfflineCountMin.from_bytes(payload)
+            payload = sk.merge(OfflineCountMin.from_bytes(pl)).to_bytes()
 
     if kind == "collision":
         nbits = state.collision.size
@@ -141,16 +168,32 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
 
 def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
                   checkpoint_dir: str | None = None,
-                  tree_depth: int = 2) -> OfflineCountMin:
+                  tree_width: int = 8,
+                  pre_aggregate: bool = False) -> OfflineCountMin:
     """Multi-round OCM/OCCM build over ``df[col]`` (int64/uint64 tokens).
 
     With ``checkpoint_dir``, each completed pass commits a snapshot and
     a rerun resumes from the last committed pass (bit-identical result
     to an uninterrupted run — tested).
+
+    ``pre_aggregate=True`` is the scale path: the (token, count) table
+    is computed ONCE by a JVM hash aggregate and persisted, so each of
+    the 2n-1 passes re-reads |distinct| weighted rows instead of
+    re-scanning the raw stream — the offline algorithm's multi-pass
+    cost collapses to one scan plus n cheap sketch passes.
     """
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
     key = _config_key(cfg, rounds)
     state = OfflineCountMin(cfg)
+    weighted = False
+    persisted = None
+    if pre_aggregate:
+        from pyspark.sql import functions as F
+        df = (df.select(col).groupBy(col)
+                .agg(F.count("*").alias("__cnt"))
+                .repartition(tree_width))
+        persisted = df.persist()
+        weighted = True
 
     def passes():
         for r in range(rounds):
@@ -170,7 +213,8 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
                 continue
         if kind in ("count", "occm"):
             state.clear_core()  # main.cpp:49/76: zero counters, keep marks
-        res = _run_pass(df, col, cfg, kind, r, rounds, state, tree_depth)
+        res = _run_pass(df, col, cfg, kind, r, rounds, state, tree_width,
+                        weighted=weighted)
         state = res.state
         if store is not None:
             store.commit(
@@ -180,4 +224,6 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
                          lineage=res.lineage,
                          metrics=sketch_fill_metrics(state.core)),
                 state.to_bytes())
+    if persisted is not None:
+        persisted.unpersist()
     return state

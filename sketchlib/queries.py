@@ -1,0 +1,140 @@
+"""Sketch-backed query operators (point frequency, heavy hitters,
+distinct, membership, quantiles) returning DataFrames.
+
+These are the engine's user-facing analogs of the reference's query
+mode (reference: main.cpp:92-133 — stream keys, annotate with sketch
+estimates): build the sketch distributed, broadcast the final blob,
+and annotate a key DataFrame with vectorized estimates inside one
+pandas UDF — a single stage, no shuffle on the probe side.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sketchlib.aggregate import build_sketch
+from sketchlib.sketches.base import deserialize
+from sketchlib.sketches.cm import CMConfig, CountMin
+from sketchlib.offline import build_offline
+
+
+def _estimate_col(spark: SparkSession, sketch, keys: DataFrame,
+                  key_hash_col: str, out_col: str = "est_count") -> DataFrame:
+    """Annotate ``keys`` with sketch point estimates (broadcast probe)."""
+    blob = sketch.to_bytes()
+    b = spark.sparkContext.broadcast(blob)
+
+    @F.pandas_udf("long")
+    def est(v: pd.Series) -> pd.Series:
+        sk = deserialize(b.value)
+        vals = v.to_numpy()
+        vals = vals.view(np.uint64) if vals.dtype == np.int64 else vals.astype(np.uint64)
+        return pd.Series(sk.estimate(vals).astype(np.int64))
+
+    return keys.withColumn(out_col, est(F.col(key_hash_col)))
+
+
+def cm_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
+                       cfg: CMConfig, offline_rounds: int = 0) -> DataFrame:
+    """Distinct keys of ``df[key_col]`` annotated with CM estimates.
+
+    ``offline_rounds > 0`` uses the offline (OCM/OCCM) build. String
+    keys are hashed with xxhash64 JVM-side; the distinct-key probe set
+    carries the original value for readability.
+    """
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    if offline_rounds > 0:
+        sk = build_offline(hashed, "kh", cfg, offline_rounds)
+    else:
+        sk = build_sketch(hashed, "kh", partial(CountMin, cfg))
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int,
+                  candidate_factor: int = 4) -> DataFrame:
+    """Exact-verified top-k heavy hitters (SURVEY.md L11 position):
+    per-partition local top-(factor*k) candidates (map-side partial
+    aggregation), then one exact recount of the candidate union —
+    Spark-idiomatic two-pass heavy hitters whose output counts are
+    exact. Returns (key, cnt) ordered by (cnt desc, key asc).
+
+    At 100 TB the first pass touches every row once with a map-side
+    combine (partial groupBy) and only ships factor*k rows per
+    partition; the recount is a semi-joined aggregation over the
+    candidate set.
+    """
+    import pandas as pd  # noqa: F811
+
+    local_k = candidate_factor * k
+
+    def local_top(pdf_iter):
+        from collections import Counter
+        c = Counter()
+        for pdf in pdf_iter:
+            c.update(pdf[key_col].value_counts().to_dict())
+        top = c.most_common(local_k)
+        if top:
+            yield pd.DataFrame({key_col: [t[0] for t in top]})
+
+    key_type = [f for f in df.schema if f.name == key_col][0].dataType.simpleString()
+    candidates = (df.select(key_col)
+                  .mapInPandas(local_top, schema=f"{key_col} {key_type}")
+                  .distinct())
+    return (df.join(F.broadcast(candidates), key_col, "left_semi")
+              .groupBy(key_col).agg(F.count("*").alias("cnt"))
+              .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+              .limit(k))
+
+
+def approx_distinct(spark: SparkSession, df: DataFrame, key_col: str,
+                    p: int = 14) -> DataFrame:
+    """HLL distinct-count estimate as a 1-row DataFrame."""
+    from sketchlib.sketches.hll import HyperLogLog
+    hashed = df.select(F.xxhash64(key_col).alias("kh"))
+    hll = build_sketch(hashed, "kh", partial(HyperLogLog, p))
+    est = float(hll.estimate())
+    return spark.createDataFrame([(est,)], f"{key_col}_distinct_est double")
+
+
+def bloom_membership(spark: SparkSession, build_df: DataFrame,
+                     build_col: str, probe_df: DataFrame, probe_col: str,
+                     p: int = 22, nh: int = 6) -> DataFrame:
+    """Probe rows annotated with Bloom membership of the build set."""
+    from sketchlib.sketches.bloom import BloomFilter
+    hashed = build_df.select(F.xxhash64(build_col).alias("kh"))
+    bf = build_sketch(hashed, "kh", partial(BloomFilter, p, nh))
+    b = spark.sparkContext.broadcast(bf.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def member(v: pd.Series) -> pd.Series:
+        sk = deserialize(b.value)
+        vals = v.to_numpy()
+        vals = vals.view(np.uint64) if vals.dtype == np.int64 else vals.astype(np.uint64)
+        return pd.Series(sk.contains(vals))
+
+    return probe_df.withColumn("maybe_member",
+                               member(F.xxhash64(probe_col)))
+
+
+def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,
+                     qs: list[float], kind: str = "kll",
+                     k: int = 200, delta: float = 200.0) -> DataFrame:
+    """Quantiles of ``df[value_col]`` via KLL or t-digest, returned as
+    (q, value) rows. Quantile spec (KLL): smallest inserted value whose
+    weighted rank >= ceil(q * n)."""
+    from sketchlib.sketches.kll import KLL
+    from sketchlib.sketches.tdigest import TDigest
+    col = df.select(F.col(value_col).cast("double").alias("v"))
+    if kind == "kll":
+        sk = build_sketch(col, "v", partial(KLL, k), as_u64=False)
+    else:
+        sk = build_sketch(col, "v", partial(TDigest, delta), as_u64=False)
+    rows = [(float(q), float(sk.quantile(q))) for q in qs]
+    return spark.createDataFrame(rows, "q double, value double")

@@ -64,6 +64,65 @@ def _sorted_unique(vals: np.ndarray):
     return u, counts.astype(np.int64)
 
 
+def _combine_weighted(vals: np.ndarray, weights) -> tuple:
+    """Combine (value, count) pairs with possibly repeated values."""
+    vals = np.asarray(vals, dtype=_U64)
+    weights = np.asarray(weights, dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    sv, sc = vals[order], weights[order]
+    u, starts = np.unique(sv, return_index=True)
+    csum = np.concatenate(([0], np.cumsum(sc)))
+    counts = csum[np.append(starts[1:], sv.shape[0])] - csum[starts]
+    return u, counts
+
+
+_NARROW = [(np.uint8, 0), (np.uint16, 1), (np.uint32, 2), (np.uint64, 3)]
+_CODE_DTYPE = {c: d for d, c in _NARROW}
+_SPARSE_BIT = 0x80
+
+
+def _pack_u64(arr: np.ndarray) -> tuple[int, bytes]:
+    """Serialize a uint64-semantics array compactly.
+
+    Two layers, both measured to matter for merge traffic:
+    - narrowest lossless integer width (partial counters are tiny);
+    - sparse (int64 indices + values) when mostly zero — a partition's
+      partial CM at w=2^20 is typically ~5% nonzero, so this is the
+      difference between ~15 MB and ~2 MB per partial blob.
+    Code byte: low 2 bits = value dtype, high bit = sparse flag.
+    """
+    flat = arr.reshape(-1)
+    mx = int(flat.max()) if flat.size else 0
+    code = next(c for dt, c in _NARROW if mx <= np.iinfo(dt).max)
+    dt = _CODE_DTYPE[code]
+    nz = np.flatnonzero(flat)
+    dense_bytes = flat.size * np.dtype(dt).itemsize
+    sparse_bytes = nz.size * (8 + np.dtype(dt).itemsize) + 8
+    if sparse_bytes < dense_bytes:
+        payload = (struct.pack("<Q", nz.size) + nz.tobytes()
+                   + flat[nz].astype(dt).tobytes())
+        return code | _SPARSE_BIT, payload
+    return code, flat.astype(dt).tobytes()
+
+
+def _unpack_u64(code: int, data: bytes, offset: int, count: int,
+                shape) -> tuple[np.ndarray, int]:
+    """Returns (array, bytes consumed)."""
+    dt = _CODE_DTYPE[code & 0x03]
+    if code & _SPARSE_BIT:
+        (nnz,) = struct.unpack_from("<Q", data, offset)
+        idx = np.frombuffer(data, dtype=np.int64, offset=offset + 8,
+                            count=nnz)
+        vals = np.frombuffer(data, dtype=dt,
+                             offset=offset + 8 + nnz * 8, count=nnz)
+        out = np.zeros(count, dtype=_U64)
+        out[idx] = vals
+        used = 8 + nnz * (8 + np.dtype(dt).itemsize)
+        return out.reshape(shape), used
+    arr = np.frombuffer(data, dtype=dt, offset=offset, count=count)
+    return arr.astype(_U64).reshape(shape), count * np.dtype(dt).itemsize
+
+
 class CountMin:
     """Single-pass CM sketch (plain or conservative update)."""
 
@@ -88,7 +147,31 @@ class CountMin:
         elif strict_order:
             self._update_conservative_strict(vals)
         else:
-            self._update_conservative_batch(vals)
+            u, counts = _sorted_unique(vals)
+            self._apply_conservative(u, counts)
+
+    def update_weighted(self, vals: np.ndarray, counts: np.ndarray) -> None:
+        """Weighted update: ``counts[i]`` occurrences of ``vals[i]``.
+
+        The scale path: the caller pre-aggregates the token stream with
+        a JVM-side ``groupBy(col).count()`` (map-side combine), so the
+        Python kernel sees |distinct| weighted rows instead of |stream|
+        rows. Bit-exact vs unweighted for the plain variant; for the
+        conservative variant it equals processing each value's
+        occurrences consecutively (a valid sequential order — the
+        documented batch semantics)."""
+        if len(vals) == 0:
+            return
+        vals, counts = _combine_weighted(vals, counts)
+        if not self.config.conservative:
+            cols = row_positions(vals, self.seeds, self.config.np_bits)
+            w = self.config.width
+            for r in range(self.core.shape[0]):
+                self.core[r] += np.bincount(
+                    cols[r].astype(np.int64), weights=counts, minlength=w
+                ).astype(_U64)
+        else:
+            self._apply_conservative(vals, counts)
 
     def _update_plain(self, vals: np.ndarray) -> None:
         # bincount per row == one +1 per (row, cell) hit; order-free.
@@ -117,18 +200,16 @@ class CountMin:
             core[rows, p] = np.maximum(v, v.min() + _U64(j - i))
             i = j
 
-    def _update_conservative_batch(self, vals: np.ndarray) -> None:
-        """Vectorized conservative update of a batch.
+    def _apply_conservative(self, u: np.ndarray, counts: np.ndarray) -> None:
+        """Vectorized conservative update of (unique value, count) pairs.
 
-        Equivalent to *some* sequential order of the batch: the batch is
-        collapsed to (unique value, count) pairs; values whose cell sets
-        are disjoint from every other value in the batch commute, so they
-        are applied simultaneously; the (rare at realistic widths)
-        cell-sharing values are applied sequentially afterwards.
-        c consecutive updates of one value raise its row-set minimum by
-        exactly c: new_v = max(v, min(v) + c).
+        Equivalent to *some* sequential order of the multiset: values
+        whose cell sets are disjoint from every other value in the batch
+        commute, so they are applied simultaneously; the (rare at
+        realistic widths) cell-sharing values are applied sequentially
+        afterwards. c consecutive updates of one value raise its row-set
+        minimum by exactly c: new_v = max(v, min(v) + c).
         """
-        u, counts = _sorted_unique(vals)
         cols = row_positions(u, self.seeds, self.config.np_bits)  # (nh, U)
         nh = self.core.shape[0]
         w = self.config.width
@@ -173,23 +254,26 @@ class CountMin:
 
     # ---------------------------------------------------------- serialize
     def to_bytes(self) -> bytes:
-        """Internal versioned blob (shipped between executors/driver)."""
+        """Internal versioned blob (shipped between executors/driver);
+        counters stored at the narrowest lossless width."""
         buf = io.BytesIO()
         c = self.config
+        code, payload = _pack_u64(self.core)
         buf.write(self.MAGIC)
-        buf.write(struct.pack("<BIIQB", 1, c.np_bits, c.nh, c.seed,
-                              1 if c.conservative else 0))
-        buf.write(self.core.tobytes())
+        buf.write(struct.pack("<BIIQBB", 2, c.np_bits, c.nh, c.seed,
+                              1 if c.conservative else 0, code))
+        buf.write(payload)
         return buf.getvalue()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountMin":
         assert data[:4] == cls.MAGIC
-        _, np_bits, nh, seed, cons = struct.unpack_from("<BIIQB", data, 4)
+        _, np_bits, nh, seed, cons, code = struct.unpack_from("<BIIQBB",
+                                                              data, 4)
         cfg = CMConfig(np_bits, nh, seed, bool(cons))
-        off = 4 + struct.calcsize("<BIIQB")
-        core = np.frombuffer(data, dtype=_U64, offset=off).reshape(
-            cfg.nh_odd, cfg.width).copy()
+        off = 4 + struct.calcsize("<BIIQBB")
+        core, _ = _unpack_u64(code, data, off, cfg.nh_odd * cfg.width,
+                              (cfg.nh_odd, cfg.width))
         return cls(cfg, core)
 
     # -------------------------------------------- reference interchange IO
@@ -296,7 +380,7 @@ class OfflineCountMin:
                 self.core[rows[at], p[at]] = mn + _U64(1)
 
     # ---------------------------------------------------- batch kernels
-    def update_count_batch(self, vals) -> None:
+    def update_count_batch(self, vals, weights=None) -> None:
         """OCM plain offline count with the collision table frozen for
         the pass: per value, +count on cells at min collision. Given a
         frozen collision table this is order-independent, so partials
@@ -304,7 +388,10 @@ class OfflineCountMin:
         vals = np.asarray(vals, dtype=_U64)
         if vals.size == 0:
             return
-        u, counts = _sorted_unique(vals)
+        if weights is None:
+            u, counts = _sorted_unique(vals)
+        else:
+            u, counts = _combine_weighted(vals, weights)
         cols = self._positions(u)                          # (nh, U)
         rows = np.arange(self.core.shape[0])[:, None]
         col = self.collision[rows, cols]                   # (nh, U)
@@ -336,31 +423,82 @@ class OfflineCountMin:
         return flags
 
     def update_count_collision_batch(self, vals, round_: int,
-                                     total_round: int) -> None:
+                                     total_round: int,
+                                     weights=None) -> None:
         """OCCM conservative count with per-batch sorted-unique ordering
-        (equivalent to some sequential order of the batch)."""
+        (equivalent to some sequential order of the batch).
+
+        Vectorized like the conservative CM batch kernel: tokens whose
+        cell sets are disjoint from every other token in the batch
+        commute, so both OCCM branches apply to all of them at once;
+        the rare cell-sharing tokens fall back to a sequential loop.
+        For a run of c duplicates the count rule collapses to
+        new_v = max(v, min(v over branch set) + c), and the branch-2
+        collision marks are exactly the first iteration's (v > min)
+        cells — later iterations mark a subset.
+        """
         vals = np.asarray(vals, dtype=_U64)
         if vals.size == 0:
             return
-        u, counts = _sorted_unique(vals)
-        cols = self._positions(u)
-        rows = np.arange(self.core.shape[0])
-        for t in range(u.shape[0]):
-            p = cols[:, t]
-            col = self.collision[rows, p]
-            mc = col.min()
-            c = _U64(counts[t])
-            if mc < round_ - 1:
-                sel = col == mc
-                v = self.core[rows[sel], p[sel]]
-                self.core[rows[sel], p[sel]] = np.maximum(v, v.min() + c)
-            else:
-                v = self.core[rows, p]
-                mn = v.min()
+        if weights is None:
+            u, counts = _sorted_unique(vals)
+        else:
+            u, counts = _combine_weighted(vals, weights)
+        nh = self.core.shape[0]
+        cols = self._positions(u)                       # (nh, U) int64
+        flat = cols + (np.arange(nh, dtype=np.int64)[:, None]
+                       << self.config.np_bits)
+        cells, cell_counts = np.unique(flat, return_counts=True)
+        shared = cells[cell_counts > 1]
+        conflicted = (np.isin(flat, shared).any(axis=0) if shared.size
+                      else np.zeros(u.shape[0], dtype=bool))
+        core_flat = self.core.reshape(-1)
+        coll_flat = self.collision.reshape(-1)
+        rows = np.arange(nh)
+
+        free = ~conflicted
+        if free.any():
+            P = flat[:, free]                            # (nh, Uf)
+            C = coll_flat[P]                             # collisions
+            V = core_flat[P]                             # counts
+            cnt = counts[free].astype(_U64)
+            mc = C.min(axis=0)
+            b1 = mc < round_ - 1
+            if b1.any():
+                selmask = (C == mc[None, :]) & b1[None, :]
+                big = np.iinfo(np.uint64).max
+                vmin = np.where(selmask, V, _U64(big)).min(axis=0)
+                target = np.where(selmask, vmin[None, :] + cnt[None, :],
+                                  _U64(0))
+                new = np.maximum(V, target)
+                core_flat[P[:, b1]] = new[:, b1]
+            b2 = ~b1
+            if b2.any():
+                P2 = P[:, b2]
+                V2 = V[:, b2]
+                mn = V2.min(axis=0)
                 if round_ < total_round:
-                    over = v > mn
-                    self.collision[rows[over], p[over]] = round_
-                self.core[rows, p] = np.maximum(v, mn + c)
+                    over = V2 > mn[None, :]
+                    coll_flat[P2[over]] = np.int32(round_)
+                core_flat[P2] = np.maximum(
+                    V2, mn[None, :] + counts[free][b2].astype(_U64))
+        if conflicted.any():
+            for t in np.flatnonzero(conflicted):
+                p = flat[:, t]
+                col = coll_flat[p]
+                mc = col.min()
+                c = _U64(counts[t])
+                if mc < round_ - 1:
+                    sel = col == mc
+                    v = core_flat[p[sel]]
+                    core_flat[p[sel]] = np.maximum(v, v.min() + c)
+                else:
+                    v = core_flat[p]
+                    mn = v.min()
+                    if round_ < total_round:
+                        over = v > mn
+                        coll_flat[p[over]] = np.int32(round_)
+                    core_flat[p] = np.maximum(v, mn + c)
 
     # ------------------------------------------------------------ query
     def estimate(self, vals: np.ndarray) -> np.ndarray:
@@ -389,26 +527,29 @@ class OfflineCountMin:
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
         c = self.config
+        code, payload = _pack_u64(self.core)
+        # collision values are round numbers (tiny, mostly zero early)
+        assert self.collision.min() >= 0
+        ccode, cpayload = _pack_u64(self.collision.astype(_U64))
         buf.write(self.MAGIC)
-        buf.write(struct.pack("<BIIQB", 1, c.np_bits, c.nh, c.seed,
-                              1 if c.conservative else 0))
-        buf.write(self.core.tobytes())
-        buf.write(self.collision.tobytes())
+        buf.write(struct.pack("<BIIQBBB", 3, c.np_bits, c.nh, c.seed,
+                              1 if c.conservative else 0, code, ccode))
+        buf.write(payload)
+        buf.write(cpayload)
         return buf.getvalue()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "OfflineCountMin":
         assert data[:4] == cls.MAGIC
-        _, np_bits, nh, seed, cons = struct.unpack_from("<BIIQB", data, 4)
+        _, np_bits, nh, seed, cons, code, ccode = struct.unpack_from(
+            "<BIIQBBB", data, 4)
         cfg = CMConfig(np_bits, nh, seed, bool(cons))
-        off = 4 + struct.calcsize("<BIIQB")
+        off = 4 + struct.calcsize("<BIIQBBB")
         nh_o, w = cfg.nh_odd, cfg.width
-        core = np.frombuffer(data, dtype=_U64, offset=off,
-                             count=nh_o * w).reshape(nh_o, w).copy()
-        off += nh_o * w * 8
-        collision = np.frombuffer(data, dtype=np.int32, offset=off,
-                                  count=nh_o * w).reshape(nh_o, w).copy()
-        return cls(cfg, core, collision)
+        core, used = _unpack_u64(code, data, off, nh_o * w, (nh_o, w))
+        off += used
+        collision, _ = _unpack_u64(ccode, data, off, nh_o * w, (nh_o, w))
+        return cls(cfg, core, collision.astype(np.int32))
 
     # ------------------------------------------- reference interchange IO
     def save_reference(self, path: str) -> None:

@@ -1,0 +1,101 @@
+"""Structured Streaming integration: windowed sketch building over an
+event stream.
+
+The reference is pure batch (multi-pass offline is its whole point —
+SURVEY.md §2.3); its vendored library's SlidingWindow CM (reference:
+include/ccm.h:840-869) is the stream-window gadget this module maps to
+Spark semantics:
+
+- mergeable sketches make streaming trivial: each micro-batch produces
+  per-window partial sketches (the same applyInPandas kernel as batch),
+  and ``foreachBatch`` merges them into a window-keyed store. Late data
+  within the watermark just merges into its window — no special case.
+- exactly-once: the store commit is keyed by (window, epoch); replayed
+  epochs overwrite their own partials before the merge, so recovery
+  after failure never double-counts.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from sketchlib.sketches.base import deserialize
+
+
+class WindowedSketchStore:
+    """Thread-safe window->sketch-blob store fed by foreachBatch.
+
+    Partials are kept per (window, epoch) and folded on read, so a
+    replayed micro-batch (failure recovery) replaces its own epoch's
+    contribution instead of double-merging.
+    """
+
+    def __init__(self) -> None:
+        self._partials: dict[tuple, dict[int, bytes]] = {}
+        self._lock = threading.Lock()
+
+    def commit(self, window_key, epoch_id: int, blob: bytes) -> None:
+        with self._lock:
+            self._partials.setdefault(window_key, {})[epoch_id] = blob
+
+    def windows(self) -> list:
+        with self._lock:
+            return sorted(self._partials)
+
+    def sketch(self, window_key):
+        with self._lock:
+            blobs = list(self._partials.get(window_key, {}).values())
+        if not blobs:
+            return None
+        acc = deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(deserialize(b))
+        return acc
+
+
+def windowed_sketch_sink(store: WindowedSketchStore,
+                         factory: Callable[[], object],
+                         key_col: str, ts_col: str,
+                         window: str = "5 minutes"):
+    """Returns a foreachBatch function building one sketch per tumbling
+    window per micro-batch and committing it to ``store``."""
+
+    import numpy as np
+    import pandas as pd
+
+    def per_batch(df: DataFrame, epoch_id: int) -> None:
+        hashed = df.select(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.xxhash64(key_col).alias("kh")
+        ).select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                  .alias("ws"), "kh")
+
+        def per_window(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = factory()
+            vals = pdf["kh"].to_numpy()
+            sk.update(vals.view(np.uint64) if vals.dtype == np.int64
+                      else vals.astype(np.uint64))
+            return pd.DataFrame({"ws": [pdf["ws"].iloc[0]],
+                                 "blob": [sk.to_bytes()]})
+
+        rows = (hashed.groupBy("ws")
+                .applyInPandas(per_window, schema="ws string, blob binary")
+                .collect())
+        for r in rows:
+            store.commit(str(r.ws), int(epoch_id), bytes(r.blob))
+
+    return per_batch
+
+
+def windowed_counts(stream_df: DataFrame, key_col: str, ts_col: str,
+                    window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Pure-Catalyst streaming baseline: watermarked tumbling-window
+    counts (the exact oracle for the sketch path)."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"), key_col)
+            .agg(F.count("*").alias("n")))

@@ -1,0 +1,89 @@
+"""Structured Streaming windowed sketches + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.multimodal import (MEDIA_SCHEMA, extract_features,
+                                  fake_decode_features, frame_sample_plan,
+                                  synthetic_media, _unsupported_decode)
+from sketchlib.sketches.cm import CMConfig, CountMin
+from sketchlib.streaming import (WindowedSketchStore, windowed_counts,
+                                 windowed_sketch_sink)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_streaming_windowed_cm_matches_batch_oracle(spark, tmp_path):
+    # stage events as a file stream source
+    src = str(tmp_path / "stream_src")
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(4000)
+    ev.repartition(4).write.parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema).parquet(src)
+              .withColumn("ts", F.col("ts")))
+    store = WindowedSketchStore()
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=False)
+    sink = windowed_sketch_sink(store, lambda: CountMin(cfg),
+                                key_col="event_type", ts_col="ts",
+                                window="1 hour")
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # exact per-window oracle from the batch path
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"))
+             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                      .alias("ws"), "event_type", "n")
+             .toPandas())
+    assert store.windows(), "no windows committed"
+    kh = (ev.select(F.col("event_type"), F.xxhash64("event_type").alias("kh"))
+          .distinct().toPandas())
+    key_hash = dict(zip(kh["event_type"], kh["kh"]))
+    for ws in store.windows():
+        sk = store.sketch(ws)
+        sub = batch[batch["ws"] == ws]
+        assert len(sub), ws
+        keys = np.array([key_hash[e] for e in sub["event_type"]],
+                        dtype=np.int64).view(np.uint64)
+        est = sk.estimate(keys)
+        np.testing.assert_array_equal(est,
+                                      sub["n"].to_numpy().astype(np.uint64))
+
+
+def test_streaming_replayed_epoch_idempotent():
+    store = WindowedSketchStore()
+    cfg = CMConfig(np_bits=12, nh=3, seed=1, conservative=False)
+    sk = CountMin(cfg)
+    sk.update(np.arange(100, dtype=np.uint64))
+    store.commit(0, epoch_id=7, blob=sk.to_bytes())
+    store.commit(0, epoch_id=7, blob=sk.to_bytes())  # replay
+    est = store.sketch(0).estimate(np.arange(100, dtype=np.uint64))
+    assert (est == 1).all()  # not double-counted
+
+
+def test_multimodal_features_and_frame_plan(spark):
+    media = synthetic_media(spark, 60, seed=9, partitions=4).cache()
+    assert media.schema == MEDIA_SCHEMA
+    feats = extract_features(media, dim=16).toPandas()
+    assert len(feats) == 60
+    assert all(len(f) == 16 for f in feats["feature"])
+    # determinism: same payload -> same features
+    one = media.filter(F.col("media_id") == 3).toPandas()
+    f1 = fake_decode_features(bytes(one["payload"][0]), 16)
+    row = feats[feats["media_id"] == 3]["feature"].iloc[0]
+    np.testing.assert_allclose(np.array(row, dtype=np.float32), f1)
+
+    plan = frame_sample_plan(media, every_ms=5000).toPandas()
+    vids = media.filter(F.col("kind") == "video").toPandas()
+    assert set(plan["media_id"]) == set(vids["media_id"])
+    expect = int((vids["duration_ms"] // 5000 + 1).sum())
+    assert len(plan) == expect
+
+    with pytest.raises(Exception):
+        extract_features(media, dim=16,
+                         decoder=_unsupported_decode).count()
