@@ -157,6 +157,46 @@ def q_simhash_near_pairs(spark, sf_dir):
     return D.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def _emb_dup_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings plus a re-keyed 2x-scaled copy of every 20th vector:
+    cosine(v, 2v) == 1.0 exactly (scaling is exact in IEEE754 and
+    cancels between numerator and norms), so the near-dup set is
+    deterministic and engine-independent."""
+    base = emb.withColumn("embedding",
+                          F.col("embedding").cast("array<double>"))
+    copies = (base.filter(F.col("vec_id") % 20 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+              .withColumn("embedding",
+                          F.transform("embedding", lambda x: x * 2.0)))
+    return base.unionByName(copies)
+
+
+_EMB_DUP_SQL = (
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 1000000, "
+    " list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) "
+    "FROM embeddings WHERE vec_id % 20 = 0)")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """embedding-cosine near-dup, exact pairwise regime."""
+    corpus = _emb_dup_corpus(_t(spark, sf_dir, "embeddings"))
+    return (D.embedding_near_dup_pairs(corpus, threshold=0.99,
+                                       method="exact")
+            .orderBy("id_a", "id_b"))
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """embedding-cosine near-dup via SRP-LSH blocking (scale path);
+    recall is exactly 1.0 for scaled copies (sign(2v.r)==sign(v.r)),
+    so the same oracle applies."""
+    corpus = _emb_dup_corpus(_t(spark, sf_dir, "embeddings"))
+    return (D.embedding_near_dup_pairs(corpus, threshold=0.99,
+                                       method="lsh")
+            .orderBy("id_a", "id_b"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
@@ -256,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
@@ -353,6 +395,20 @@ ORDER BY q"""
             f"MIN(doc_id) AS min_id FROM {_DUP_SQL} d "
             "GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint"),
         "dedup_minhash": jaccard_core.format(thr=0.9),
+        "dedup_embedding": (
+            f"WITH base AS {_EMB_DUP_SQL} "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            " round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim "
+            "FROM base a JOIN base b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.99 "
+            "ORDER BY id_a, id_b"),
+        "dedup_embedding_lsh": (
+            f"WITH base AS {_EMB_DUP_SQL} "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            " round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim "
+            "FROM base a JOIN base b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.99 "
+            "ORDER BY id_a, id_b"),
         "dedup_ngram_jaccard": jaccard_core.format(thr=0.6),
         "ann_cosine_topk": """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

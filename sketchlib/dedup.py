@@ -187,3 +187,52 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                 "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             method: str = "exact", n_bits: int = 8,
+                             n_tables: int = 8, seed: int = 7,
+                             dim: int = 64, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim)
+    with cosine >= threshold.
+
+    method='exact' broadcasts the smaller side for a full pairwise
+    scan (the oracle-checkable regime); method='lsh' blocks on SRP
+    signatures first (``sketchlib.ann.srp_signatures``) so only
+    bucket-colliding pairs get the exact cosine — the 100 TB path:
+    at 0.95 cosine the angular distance is ~18deg, so an 8-bit SRP
+    signature agrees with probability (1 - 18/180)^8 ~= 0.43 per
+    table; 8 tables give ~98.9% recall with no cross join.
+    """
+    from sketchlib.ann import _dot, _norm, srp_signatures
+
+    if method == "lsh":
+        sig = srp_signatures(emb, n_bits, seed, dim, id_col, vec_col,
+                             n_tables)
+        blocks = sig.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v"),
+                            F.posexplode("srp_sigs").alias("tbl", "sig"))
+        pairs = (blocks.alias("a")
+                 .join(blocks.alias("b"), ["tbl", "sig"])
+                 .filter(F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("a.v").alias("va"),
+                         F.col("b.id").alias("id_b"),
+                         F.col("b.v").alias("vb"))
+                 .dropDuplicates(["id_a", "id_b"]))
+    else:
+        a = emb.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb"))
+        pairs = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")))
+
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
+                                            * _norm(F.col("vb")))
+    # round (not floor): surviving pairs sit within ~1e-12 of exact
+    # cosine values, and floor at the 1e-6 grid is discontinuous there
+    return (pairs.withColumn("cos_sim", sim)
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b",
+                    F.round(F.col("cos_sim"), 6).alias("cos_sim")))
