@@ -79,6 +79,15 @@ def q_occm_user_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def q_countsketch_event_freq(spark, sf_dir):
+    """L3: count-sketch (signed/unbiased); exact at collision-free
+    width, so the exact-count oracle applies."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.countsketch_point_frequency(spark, ev, "event_type",
+                                          np_bits=16, nh=5)
+            .orderBy("key"))
+
+
 def q_heavy_hitter_tokens(spark, sf_dir):
     """L11/L12: two-pass heavy hitters with exact recount."""
     docs = _t(spark, sf_dir, "documents")
@@ -285,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
         "occm_user_freq": q_occm_user_freq,
+        "countsketch_event_freq": q_countsketch_event_freq,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
@@ -374,6 +384,9 @@ ORDER BY q"""
             "FROM events GROUP BY 1 ORDER BY 1"),
         "occm_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "countsketch_event_freq": (
+            "SELECT event_type AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
         "heavy_hitter_tokens": (
             f"SELECT token, COUNT(*) AS cnt FROM {_TOKENS_SQL} tk "

@@ -43,6 +43,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
+    # untimed warm-up: JVM codegen JIT + Python worker pool spin-up,
+    # so the first timed query doesn't absorb session start-up cost
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from sketchlib import dedup as _D
+    _D.normalized_tokens(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    ).groupBy("token").count().count()
+
     # ---- headline driver-contract queries (subset sized for sf0.1) ----
     qs = E.queries()
     for name in ["cm_event_type_freq", "cm_conservative_user_freq",

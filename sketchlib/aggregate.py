@@ -59,7 +59,8 @@ def _fold_blob_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
                  tree_width: int = 8, as_u64: bool = True,
-                 pre_aggregate: bool = False):
+                 pre_aggregate: bool = False,
+                 kernel_partitions: int | None = None):
     """Build one merged sketch over ``df[col]``.
 
     ``factory`` must be a picklable zero-arg callable returning a fresh
@@ -79,20 +80,32 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
     from pyspark.sql import functions as F
 
     if pre_aggregate:
+        # kernel parallelism follows the cluster, not the merge fan-in:
+        # at 10^9 distinct keys the weighted-update kernel is the
+        # heavy stage and must use every core; the blob fold below
+        # then reduces the partial count to ``tree_width`` before the
+        # driver sees anything (bounded driver fan-in at any scale)
         grouped = (df.select(col).groupBy(col)
-                   .agg(F.count("*").alias("__cnt"))
-                   .repartition(tree_width))
+                   .agg(F.count("*").alias("__cnt")))
+        if kernel_partitions is not None:
+            grouped = grouped.repartition(kernel_partitions)
 
         def partial_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            sk = factory()
+            sk = None
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                if sk is None:
+                    sk = factory()
                 vals = _as_u64(pdf[col]) if as_u64 else pdf[col].to_numpy()
                 sk.update_weighted(vals, pdf["__cnt"].to_numpy())
-            yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+            if sk is not None:
+                yield pd.DataFrame({"sketch": [sk.to_bytes()]})
 
         blobs = grouped.mapInPandas(partial_build, schema="sketch binary")
+        if kernel_partitions is None or kernel_partitions > tree_width:
+            blobs = (blobs.repartition(tree_width)
+                     .mapInPandas(_fold_blob_rows, schema="sketch binary"))
         folded = blobs.toPandas()
         acc = None
         for b in folded["sketch"]:

@@ -1,0 +1,187 @@
+"""spark-submit entry point mirroring the reference drivers' CLI.
+
+The reference exposes two modes (``count`` / ``query``) in
+``main.cpp:14-32`` (OCM/OCCM) and ``cm.cpp:15-25`` (single-pass CM);
+this CLI keeps those modes and flags (``-k -h -w -n -c -r -o -q -f``)
+but reads either a transcripts parquet table (the engine's native
+input, BASELINE.json input_hint) or a FASTA file (the reference's
+input, for cross-validation), builds the sketch distributed, and
+writes the reference's exact binary format so ``/root/reference/cm``
+and ``ocm`` can consume the output directly.
+
+Usage (spark-submit --py-files sketchlib.zip -m sketchlib.cli ...):
+
+  count over transcripts parquet:
+    python -m sketchlib.cli count --parquet /data/transcripts \
+        -w 1048576 -h 7 -n 4 -c -o sketch.bin [--checkpoint dir]
+  count over FASTA (reference parity):
+    python -m sketchlib.cli count --fa input.fa -k 22 -w 1048576 \
+        -h 7 -n 4 -c -o sketch.bin
+  query:
+    python -m sketchlib.cli query -f sketch.bin -q queries.txt \
+        -o result.csv [-k 22]
+
+Query files are the reference's whitespace format ``key true_count``
+(main.cpp:121-132); with ``-k`` the key is 2-bit-encoded as a k-mer
+(forward strand only, main.cpp:131), otherwise it is hashed like a
+transcript token.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import math
+import sys
+from functools import partial
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sketchlib", description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    c = sub.add_parser("count", help="build a sketch")
+    src = c.add_mutually_exclusive_group(required=True)
+    src.add_argument("--parquet", help="transcripts parquet path")
+    src.add_argument("--fa", help="FASTA input (reference parity mode)")
+    c.add_argument("-k", "--kmer", type=int, default=22,
+                   help="k-mer length (FASTA mode)")
+    c.add_argument("-w", "--width", type=int, default=1 << 20,
+                   help="sketch width (power of two)")
+    c.add_argument("-H", "--hashes", type=int, default=7, dest="nh",
+                   help="hash rows (reference -h; renamed, -h is help)")
+    c.add_argument("-n", "--rounds", type=int, default=1,
+                   help="offline rounds; 1 = single-pass CM")
+    c.add_argument("-c", "--conservative", action="store_true")
+    c.add_argument("-r", "--no-canonicalize", action="store_true",
+                   help="FASTA mode: disable reverse-complement insert")
+    c.add_argument("--seed", type=int, default=137)
+    c.add_argument("-o", "--output", required=True, help="sketch file out")
+    c.add_argument("--checkpoint", help="checkpoint/lineage directory")
+    c.add_argument("--cpus", type=int, default=None)
+
+    q = sub.add_parser("query", help="query a sketch")
+    q.add_argument("-f", "--sketch", required=True)
+    q.add_argument("-q", "--queries", required=True,
+                   help="text file: 'key true_count' per line")
+    q.add_argument("-o", "--output", required=True, help="CSV out")
+    q.add_argument("-k", "--kmer", type=int, default=None,
+                   help="if set, keys are k-mers (2-bit encoded)")
+    q.add_argument("--namespace", choices=["word", "tool", "role"],
+                   default="word",
+                   help="token namespace for non-kmer keys")
+    return p
+
+
+def _np_bits(width: int) -> int:
+    np_bits = int(math.log2(width))
+    if (1 << np_bits) != width:
+        raise SystemExit(f"width {width} is not a power of two")
+    return np_bits
+
+
+def cmd_count(args) -> int:
+    from sketchlib.sketches.cm import CMConfig, CountMin
+
+    cfg = CMConfig(np_bits=_np_bits(args.width), nh=args.nh,
+                   seed=args.seed, conservative=args.conservative)
+
+    if args.fa:
+        # reference parity mode: single-node FASTA ingest (the input
+        # format is line-oriented and small; distributed ingest of
+        # FASTA is out of scope — parquet is the scale path)
+        from sketchlib.fasta import file_kmers
+        from sketchlib.sketches.cm import OfflineCountMin
+
+        kmers = file_kmers(args.fa, args.kmer,
+                           canonicalize=not args.no_canonicalize)
+        if args.rounds > 1:
+            # reference round loop incl. the dead-OCCM-pre-pass quirk
+            # (main.cpp:35-90, SURVEY.md O16)
+            sk = OfflineCountMin(cfg)
+            for r in range(args.rounds):
+                if cfg.conservative:
+                    sk.clear_core()
+                    sk.update_count_collision_strict(kmers, r, args.rounds)
+                else:
+                    if r > 0:
+                        sk.update_collision_strict(kmers, r, 0)
+                    sk.clear_core()
+                    sk.update_count_strict(kmers, r, 0)
+            sk.save_reference(args.output)
+        else:
+            sk = CountMin(cfg)
+            sk.update(kmers, strict_order=True)
+            sk.save_reference(args.output)
+        print(f"wrote {args.output} ({len(kmers)} updates)")
+        return 0
+
+    from sketchlib.aggregate import build_sketch
+    from sketchlib.offline import build_offline
+    from sketchlib.session import get_spark
+    from sketchlib.tokenize import transcript_tokens
+
+    spark = get_spark("sketchlib-count", cpus=args.cpus)
+    toks = transcript_tokens(spark.read.parquet(args.parquet))
+    if args.rounds > 1:
+        sk = build_offline(toks, "token_u64", cfg, args.rounds,
+                           checkpoint_dir=args.checkpoint,
+                           pre_aggregate=True)
+    else:
+        sk = build_sketch(toks, "token_u64", partial(CountMin, cfg),
+                          pre_aggregate=True)
+    sk.save_reference(args.output)
+    print(f"wrote {args.output}")
+    spark.stop()
+    return 0
+
+
+def cmd_query(args) -> int:
+    import numpy as np
+
+    from sketchlib.fasta import encode_kmer
+    from sketchlib.io import load_reference_sketch
+
+    sk = load_reference_sketch(args.sketch)
+    trues, raw = [], []
+    with open(args.queries) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            raw.append(parts[0])
+            trues.append(int(parts[1]))
+    if args.kmer:
+        keys = [encode_kmer(k) for k in raw]
+    else:
+        # hash through Spark's own xxhash64 so query-side hashing is
+        # bit-identical to the build-side tokenizer (no reimplemented
+        # hash to drift)
+        from pyspark.sql import functions as F
+
+        from sketchlib.session import get_spark
+
+        kind = {"word": 0, "tool": 1, "role": 2}[args.namespace]
+        spark = get_spark("sketchlib-query")
+        keys = [r.h for r in
+                spark.createDataFrame([(v,) for v in raw], "val string")
+                .select(F.xxhash64(F.lit(kind).cast("int"), "val")
+                        .alias("h")).collect()]
+        spark.stop()
+    est = sk.estimate(np.asarray(keys, dtype=np.int64).view(np.uint64))
+    with open(args.output, "w", newline="") as fh:
+        w = csv.writer(fh, lineterminator="\n")  # match reference's CSV
+        w.writerow(["kmer", "true_count", "estimated_count"])
+        for k, t, e in zip(raw, trues, est):
+            w.writerow([k, t, int(e)])
+    print(f"wrote {args.output} ({len(raw)} queries)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    return cmd_count(args) if args.mode == "count" else cmd_query(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

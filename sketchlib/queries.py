@@ -57,6 +57,22 @@ def cm_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
     return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
 
 
+def countsketch_point_frequency(spark: SparkSession, df: DataFrame,
+                                key_col: str, np_bits: int = 16,
+                                nh: int = 5, seed: int = 137) -> DataFrame:
+    """Count-sketch (signed, unbiased — reference include/ccm.h:412-588)
+    point estimates for the distinct keys of ``df[key_col]``."""
+    from sketchlib.sketches.countsketch import CountSketch
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(CountSketch, np_bits, nh, seed),
+                      pre_aggregate=True)
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
 def heavy_hitters(df: DataFrame, key_col: str, k: int,
                   candidate_factor: int = 4) -> DataFrame:
     """Exact-verified top-k heavy hitters (SURVEY.md L11 position):

@@ -46,7 +46,16 @@ def get_spark(app: str = "sketchlib", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SKETCHLIB_DRIVER_MEM", "48g"))
+        # fixed-size pre-touched heap: a growing lazily-faulted heap
+        # spends tens of seconds at ~95% kernel time zeroing pages
+        # mid-job (measured in this sandbox); pre-touching moves that
+        # cost to startup and removes the dominant source of run-to-run
+        # variance
+        .config("spark.driver.memory",
+                os.environ.get("SKETCHLIB_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+AlwaysPreTouch -Xms"
+                + os.environ.get("SKETCHLIB_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -27,3 +27,8 @@ try:
     register(KLL)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.countsketch import CountSketch
+    register(CountSketch)
+except ImportError:
+    pass

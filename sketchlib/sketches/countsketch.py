@@ -1,0 +1,98 @@
+"""Count-sketch (AMS / Charikar-Chen-Farach-Colton) sibling.
+
+Semantics follow the reference's vendored ``csbase_t`` (reference:
+include/ccm.h:412-588): per row, the item maps to one cell via the
+seeded hash and contributes +1 or -1 by the hash's sign bit
+(ccm.h:502-525 with the Increment updater's signed path,
+include/update.h:84-121); the estimator is the MEDIAN of the signed
+per-row estimates (ccm.h:527-540); merge is elementwise SUM
+(ccm.h:541-551). Unlike count-min it is unbiased and supports
+deletions (negative weights), at the cost of two-sided error
+|err| <= ||f||_2 / sqrt(w) per row w.h.p.
+
+Same hash family as our CM (WangHash over mt19937_64-derived seeds,
+reference include/hash.h:34-55) so the row-position machinery is
+shared; the sign is taken from a high hash bit that the position
+mask never consumes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from sketchlib.hashing import derive_seeds, wang_hash_u64
+
+_U64 = np.uint64
+_I64 = np.int64
+
+
+class CountSketch:
+    MAGIC = b"SKCS"
+
+    def __init__(self, np_bits: int, nh: int = 5, seed: int = 137,
+                 core: np.ndarray | None = None):
+        self.np_bits = int(np_bits)
+        self.nh = int(nh) + (1 - int(nh) % 2)  # odd rows => odd median
+        self.seed = int(seed)
+        self.seeds = derive_seeds(seed, self.nh)
+        w = 1 << self.np_bits
+        self.core = (np.zeros((self.nh, w), dtype=_I64)
+                     if core is None else core)
+
+    # ------------------------------------------------------------ hash
+    def _pos_sign(self, vals: np.ndarray):
+        """(rows, cols, signs): col = low np_bits of H(v ^ seed_i);
+        sign = bit 63 of the same hash (never overlaps the mask)."""
+        vals = np.asarray(vals, dtype=_U64)
+        h = wang_hash_u64(vals[None, :] ^ self.seeds[:, None])
+        cols = (h & _U64((1 << self.np_bits) - 1)).astype(np.int64)
+        signs = np.where((h >> _U64(63)) & _U64(1), _I64(1), _I64(-1))
+        return cols, signs
+
+    # ---------------------------------------------------------- update
+    def update(self, vals: np.ndarray) -> None:
+        self.update_weighted(vals, np.ones(len(vals), dtype=_I64))
+
+    def update_weighted(self, vals: np.ndarray, counts: np.ndarray) -> None:
+        cols, signs = self._pos_sign(vals)
+        w = np.asarray(counts, dtype=_I64)
+        rows = np.arange(self.nh)[:, None].repeat(len(vals), axis=1)
+        np.add.at(self.core, (rows.ravel(), cols.ravel()),
+                  (signs * w[None, :]).ravel())
+
+    # -------------------------------------------------------- estimate
+    def estimate(self, vals: np.ndarray) -> np.ndarray:
+        """Median over rows of sign * cell — unbiased (ccm.h:527-540)."""
+        if len(vals) == 0:
+            return np.empty(0, dtype=_I64)
+        cols, signs = self._pos_sign(vals)
+        rows = np.arange(self.nh)[:, None]
+        per_row = signs * self.core[rows, cols]
+        return np.median(per_row, axis=0).astype(_I64)
+
+    # ------------------------------------------------------------ merge
+    def merge(self, other: "CountSketch") -> "CountSketch":
+        assert (self.np_bits, self.nh, self.seed) == \
+               (other.np_bits, other.nh, other.seed)
+        self.core += other.core
+        return self
+
+    # -------------------------------------------------------- serialize
+    def to_bytes(self) -> bytes:
+        return (self.MAGIC
+                + struct.pack("<BIIQ", 1, self.np_bits, self.nh, self.seed)
+                + self.core.astype("<i8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountSketch":
+        assert data[:4] == cls.MAGIC
+        ver, np_bits, nh, seed = struct.unpack_from("<BIIQ", data, 4)
+        assert ver == 1
+        off = 4 + struct.calcsize("<BIIQ")
+        core = np.frombuffer(data, dtype="<i8", offset=off,
+                             count=nh << np_bits).astype(_I64)
+        sk = cls(np_bits, nh, seed, core.reshape(nh, 1 << np_bits))
+        sk.nh = nh  # already odd in the blob
+        return sk

@@ -1,0 +1,55 @@
+"""CLI (sketchlib.cli) parity tests — FASTA/reference-format paths.
+
+The parquet/token paths share the same build/query machinery tested in
+test_spark_cm.py / test_offline_spark.py; here we pin the CLI surface
+itself: flag parsing, the reference round-loop quirks, binary output
+byte-equality, and the query CSV format (main.cpp:92-133).
+"""
+
+from __future__ import annotations
+
+import filecmp
+import os
+
+from sketchlib.cli import main
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+FA = os.path.join(FIX, "rymv.guard.fa")
+QUERIES = os.path.join(FIX, "rymv.sim.22counts.txt")
+
+
+def test_cli_count_cm_conservative_bitexact(tmp_path):
+    out = str(tmp_path / "cm.bin")
+    assert main(["count", "--fa", FA, "-k", "22", "-w", "1024", "-H", "7",
+                 "-c", "-o", out]) == 0
+    assert filecmp.cmp(out, os.path.join(FIX, "golden_cm_cons_w1024.bin"),
+                       shallow=False)
+
+
+def test_cli_count_ocm_plain_bitexact(tmp_path):
+    out = str(tmp_path / "ocm.bin")
+    assert main(["count", "--fa", FA, "-k", "22", "-w", "1024", "-H", "7",
+                 "-n", "4", "-o", out]) == 0
+    assert filecmp.cmp(out, os.path.join(FIX, "golden_ocm_n4_w1024.bin"),
+                       shallow=False)
+
+
+def test_cli_count_occm_and_query_bitexact(tmp_path):
+    out = str(tmp_path / "occm.bin")
+    csv_out = str(tmp_path / "q.csv")
+    assert main(["count", "--fa", FA, "-k", "22", "-w", "1024", "-H", "7",
+                 "-n", "4", "-c", "-o", out]) == 0
+    assert filecmp.cmp(out, os.path.join(FIX, "golden_occm_n4_w1024.bin"),
+                       shallow=False)
+    assert main(["query", "-f", out, "-q", QUERIES, "-o", csv_out,
+                 "-k", "22"]) == 0
+    assert filecmp.cmp(csv_out,
+                       os.path.join(FIX, "golden_occm_n4_w1024_q.csv"),
+                       shallow=False)
+
+
+def test_cli_rejects_non_power_of_two_width(tmp_path):
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["count", "--fa", FA, "-w", "1000",
+              "-o", str(tmp_path / "x.bin")])

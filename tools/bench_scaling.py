@@ -29,28 +29,36 @@ from sketchlib.sketches.cm import CMConfig, CountMin
 
 cpus = {cpus}
 n_convs = {n_convs}
-spark = get_spark("scaling-bench", cpus=cpus, shuffle_partitions=cpus * 4)
+# identical data layout at both parallelism levels (same input and
+# shuffle partition counts) — only the executor-thread count varies,
+# mirroring an N-executor vs 4N-executor cluster reading one table
+PARTS = 128
+spark = get_spark("scaling-bench", cpus=cpus, shuffle_partitions=PARTS)
 spark.sparkContext.setLogLevel("ERROR")
-tdf = transcripts(spark, n_convs, seed=42, partitions=cpus * 4).cache()
+tdf = transcripts(spark, n_convs, seed=42, partitions=PARTS).cache()
 n_turns = tdf.count()
 n_updates = transcript_tokens(tdf).count()
 cfg = CMConfig(np_bits=20, nh=7, seed=137, conservative=True)
 # timed job = the full engine pipeline: tokenize (JVM) -> pre-aggregate
 # (Tungsten hash agg) -> weighted sketch kernels -> merge. Generation
-# is cached out; warm-up first, then 2 timed reps, keep best.
-build_sketch(transcript_tokens(tdf), "token_u64", partial(CountMin, cfg),
-             pre_aggregate=True)
-best = None
+# is cached out; 2 warm-up reps (codegen JIT), then median of 5 —
+# steady-state, robust to the sandbox's page-fault/GC noise.
 for _ in range(2):
+    build_sketch(transcript_tokens(tdf), "token_u64", partial(CountMin, cfg),
+                 pre_aggregate=True)
+times = []
+for _ in range(5):
     t0 = time.time()
     build_sketch(transcript_tokens(tdf), "token_u64",
                  partial(CountMin, cfg), pre_aggregate=True)
-    dt = time.time() - t0
-    best = dt if best is None or dt < best else best
+    times.append(time.time() - t0)
+times.sort()
+med = times[len(times) // 2]
 print(json.dumps({{"cpus": cpus, "n_turns": n_turns,
-                   "n_updates": n_updates, "sec": best,
-                   "turns_per_sec": n_turns / best,
-                   "updates_per_sec": n_updates / best}}))
+                   "n_updates": n_updates, "sec": med,
+                   "all_sec": [round(t, 2) for t in times],
+                   "turns_per_sec": n_turns / med,
+                   "updates_per_sec": n_updates / med}}))
 spark.stop()
 """
 
@@ -66,9 +74,19 @@ def run_level(cpus: int, n_convs: int) -> dict:
 def main() -> int:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     high = low * 4
-    lo = run_level(low, n_convs)
-    hi = run_level(high, n_convs)
+    # interleave the two levels across fresh JVMs and keep each level's
+    # best round: the sandbox is a shared VM whose effective CPU drifts
+    # minute-to-minute, and pairing adjacent runs + best-of cancels that
+    lo = hi = None
+    for _ in range(rounds):
+        l = run_level(low, n_convs)
+        h = run_level(high, n_convs)
+        if lo is None or l["sec"] < lo["sec"]:
+            lo = l
+        if hi is None or h["sec"] < hi["sec"]:
+            hi = h
     eff = (hi["updates_per_sec"] / lo["updates_per_sec"]) / (high / low)
     result = {"low": lo, "high": hi, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
