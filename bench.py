@@ -50,6 +50,12 @@ def main() -> int:
     _D.normalized_tokens(
         spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     ).groupBy("token").count().count()
+    # ...and the Arrow/Python-worker path the sketch kernels use
+    build_sketch(
+        spark.read.parquet(f"{sf_dir}/events.parquet").limit(64)
+        .select(F.xxhash64("event_type").alias("kh")),
+        "kh", partial(CountMin, CMConfig(8, 3, 1, True)),
+        pre_aggregate=True)
 
     # ---- headline driver-contract queries (subset sized for sf0.1) ----
     qs = E.queries()

@@ -50,9 +50,11 @@ def cm_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
     hashed = df.select(F.col(key_col).alias("key"),
                        F.xxhash64(key_col).alias("kh"))
     if offline_rounds > 0:
-        sk = build_offline(hashed, "kh", cfg, offline_rounds)
+        sk = build_offline(hashed, "kh", cfg, offline_rounds,
+                           pre_aggregate=True)
     else:
-        sk = build_sketch(hashed, "kh", partial(CountMin, cfg))
+        sk = build_sketch(hashed, "kh", partial(CountMin, cfg),
+                          pre_aggregate=True)
     keys = hashed.distinct()
     return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
 
@@ -113,7 +115,9 @@ def approx_distinct(spark: SparkSession, df: DataFrame, key_col: str,
                     p: int = 14) -> DataFrame:
     """HLL distinct-count estimate as a 1-row DataFrame."""
     from sketchlib.sketches.hll import HyperLogLog
-    hashed = df.select(F.xxhash64(key_col).alias("kh"))
+    # HLL updates are idempotent, so dedupe JVM-side first: the Python
+    # kernel then sees |distinct| rows instead of the full stream
+    hashed = df.select(F.xxhash64(key_col).alias("kh")).distinct()
     hll = build_sketch(hashed, "kh", partial(HyperLogLog, p))
     est = float(hll.estimate())
     return spark.createDataFrame([(est,)], f"{key_col}_distinct_est double")
@@ -124,7 +128,8 @@ def bloom_membership(spark: SparkSession, build_df: DataFrame,
                      p: int = 22, nh: int = 6) -> DataFrame:
     """Probe rows annotated with Bloom membership of the build set."""
     from sketchlib.sketches.bloom import BloomFilter
-    hashed = build_df.select(F.xxhash64(build_col).alias("kh"))
+    # Bloom inserts are idempotent => JVM-side dedup before the kernel
+    hashed = build_df.select(F.xxhash64(build_col).alias("kh")).distinct()
     bf = build_sketch(hashed, "kh", partial(BloomFilter, p, nh))
     b = spark.sparkContext.broadcast(bf.to_bytes())
 
