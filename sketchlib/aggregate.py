@@ -137,13 +137,30 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
 
 def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
                            factory: Callable[[], object],
-                           as_u64: bool = True) -> DataFrame:
+                           as_u64: bool = True,
+                           salt_buckets: int | None = None) -> DataFrame:
     """One sketch per key group: ``(key..., sketch binary)`` DataFrame.
 
     Uses applyInPandas (hash exchange on the keys planned by Catalyst);
     suitable when the number of groups is large and results stay
     distributed (e.g. per-language token sketches).
+
+    ``salt_buckets`` is the hot-key defense: with it, aggregation runs
+    in two stages — partial sketches per ``(key, salt)`` where salt =
+    ``pmod(xxhash64(col), salt_buckets)`` splits a hot key's rows
+    across up to ``salt_buckets`` tasks, then a second (tiny: one blob
+    per key-salt) exchange merges blobs per key. Merges are
+    associative & commutative, so the result is identical to the
+    unsalted plan for order-independent sketches (bit-exact for plain
+    CM / HLL / Bloom / count-sketch). AQE's skew handling cannot split
+    a single group of a custom aggregation — the salt must be in the
+    grouping key, which is exactly what this does.
     """
+    from pyspark.sql import functions as F
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema if f.name in key_cols)
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory()
@@ -153,9 +170,27 @@ def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
         head["sketch"] = [sk.to_bytes()]
         return head
 
-    key_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema if f.name in key_cols)
-    return (df.select(*key_cols, col)
-              .groupBy(*key_cols)
-              .applyInPandas(per_group, schema=f"{key_schema}, sketch binary"))
+    if not salt_buckets:
+        return (df.select(*key_cols, col)
+                  .groupBy(*key_cols)
+                  .applyInPandas(per_group,
+                                 schema=f"{key_schema}, sketch binary"))
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["sketch"]:
+            sk = deserialize(bytes(b))
+            acc = sk if acc is None else acc.merge(sk)
+        head = pdf.iloc[:1][key_cols].copy()
+        head["sketch"] = [acc.to_bytes()]
+        return head
+
+    salted = (df.select(*key_cols, col)
+              .withColumn("__salt",
+                          F.pmod(F.xxhash64(col), F.lit(salt_buckets))))
+    partials = (salted.groupBy(*key_cols, "__salt")
+                .applyInPandas(per_group,
+                               schema=f"{key_schema}, sketch binary"))
+    return (partials.groupBy(*key_cols)
+            .applyInPandas(merge_group,
+                           schema=f"{key_schema}, sketch binary"))
