@@ -1,0 +1,113 @@
+"""Iceberg-style table adapter: snapshot catalog over parquet.
+
+The north rule targets Iceberg tables of transcripts; this sandbox has
+no Iceberg runtime jars (verified), so the adapter implements the
+Iceberg *contract* the engine depends on — immutable data files, an
+atomic snapshot manifest, append/overwrite commits, time travel, and
+snapshot-scoped reads — over plain parquet with a JSON catalog. The
+API (``load_table`` / ``append`` / ``current_snapshot`` /
+``snapshots``) is what the engine codes against; pointing it at a real
+Iceberg catalog is a config change, not a rewrite.
+
+Layout:
+    <root>/<table>/
+      catalog.json           # atomic pointer: current snapshot id + log
+      snap-<id>.json         # manifest: list of data files + row counts
+      data/<uuid>.parquet    # immutable data files
+
+Commits are atomic via write-temp + ``os.replace`` of catalog.json —
+the same single-pointer-swap guarantee Iceberg's catalog provides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergishCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _catalog_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "catalog.json")
+
+    def _read_catalog(self, table: str) -> dict:
+        p = self._catalog_path(table)
+        if not os.path.exists(p):
+            return {"current": None, "log": []}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_catalog(self, table: str, cat: dict) -> None:
+        tdir = self._tdir(table)
+        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(cat, fh, indent=1)
+        os.replace(tmp, self._catalog_path(table))  # atomic pointer swap
+
+    # ---------------------------------------------------------- commits
+    def append(self, table: str, df: DataFrame,
+               operation: str = "append") -> str:
+        """Write ``df`` as new immutable data files and commit a new
+        snapshot (previous files retained for ``append``, dropped for
+        ``overwrite``). Returns the snapshot id."""
+        tdir = self._tdir(table)
+        data_dir = os.path.join(tdir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        file_dir = os.path.join(data_dir, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(file_dir)
+        n_rows = df.sparkSession.read.parquet(file_dir).count()
+
+        cat = self._read_catalog(table)
+        prev_files: list = []
+        if operation == "append" and cat["current"] is not None:
+            prev_files = self._read_snapshot(table, cat["current"])["files"]
+        snap_id = f"{len(cat['log']):06d}-{uuid.uuid4().hex[:8]}"
+        snap = {
+            "snapshot_id": snap_id,
+            "parent": cat["current"],
+            "operation": operation,
+            "files": prev_files + [{"path": file_dir, "rows": n_rows}],
+        }
+        with open(os.path.join(tdir, f"snap-{snap_id}.json"), "w") as fh:
+            json.dump(snap, fh, indent=1)
+        cat["log"].append(snap_id)
+        cat["current"] = snap_id
+        self._write_catalog(table, cat)
+        return snap_id
+
+    def overwrite(self, table: str, df: DataFrame) -> str:
+        return self.append(table, df, operation="overwrite")
+
+    # ------------------------------------------------------------ reads
+    def _read_snapshot(self, table: str, snap_id: str) -> dict:
+        with open(os.path.join(self._tdir(table),
+                               f"snap-{snap_id}.json")) as fh:
+            return json.load(fh)
+
+    def current_snapshot(self, table: str) -> str | None:
+        return self._read_catalog(table)["current"]
+
+    def snapshots(self, table: str) -> list[str]:
+        return list(self._read_catalog(table)["log"])
+
+    def load_table(self, spark: SparkSession, table: str,
+                   snapshot_id: str | None = None) -> DataFrame:
+        """Read the table at a snapshot (default: current). Time
+        travel = pass any id from ``snapshots()``."""
+        snap_id = snapshot_id or self.current_snapshot(table)
+        if snap_id is None:
+            raise ValueError(f"table {table!r} has no snapshots")
+        files = self._read_snapshot(table, snap_id)["files"]
+        paths = [f["path"] for f in files]
+        return spark.read.parquet(*paths)
