@@ -365,6 +365,45 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {{thr}}
 ORDER BY id_a, id_b"""
 
+    def simhash_fp_sql(docs_sql: str) -> str:
+        """Engine-portable md5 SimHash: identical per-bit majority-vote
+        fingerprint as sketchlib.dedup.simhash (two 32-bit halves)."""
+        vh = ", ".join(
+            f"SUM(CASE WHEN (h_hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS vh{j}" for j in range(32))
+        vl = ", ".join(
+            f"SUM(CASE WHEN (h_lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS vl{j}" for j in range(32))
+        fp_hi = " + ".join(
+            f"(CASE WHEN vh{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(32))
+        fp_lo = " + ".join(
+            f"(CASE WHEN vl{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(32))
+        return f"""
+WITH tk AS (SELECT doc_id, t AS token FROM (SELECT doc_id,
+  unnest(string_split_regex(lower(text), '\\s+')) AS t
+  FROM {docs_sql} d) WHERE t <> ''),
+h AS (SELECT doc_id,
+  CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h_hi,
+  CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) AS h_lo
+  FROM tk),
+v AS (SELECT doc_id, {vh}, {vl} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp_hi} AS fp_hi, {fp_lo} AS fp_lo FROM v)"""
+
+    simhash_sql = (simhash_fp_sql("documents")
+                   + " SELECT doc_id, fp_hi, fp_lo FROM fp ORDER BY doc_id")
+    # brute-force pair scan is exactly equivalent to the 16-bit-chunk
+    # pigeonhole blocking for hamming <= 3 (blocking has perfect recall)
+    simhash_pairs_sql = (simhash_fp_sql(_DUP_SQL) + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo))
+         AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+      + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+ORDER BY id_a, id_b""")
+
     quantile_sql = f"""
 WITH s AS (SELECT l_extendedprice AS v,
                   row_number() OVER (ORDER BY l_extendedprice) AS rn,
@@ -408,6 +447,8 @@ ORDER BY q"""
             f"MIN(doc_id) AS min_id FROM {_DUP_SQL} d "
             "GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint"),
         "dedup_minhash": jaccard_core.format(thr=0.9),
+        "simhash_fingerprints": simhash_sql,
+        "simhash_near_pairs": simhash_pairs_sql,
         "dedup_embedding": (
             f"WITH base AS {_EMB_DUP_SQL} "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

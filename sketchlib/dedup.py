@@ -135,27 +135,40 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprint per doc: per-bit majority vote of
-    token-hash bits, token weight = term frequency. JVM-side: 64
-    conditional sums over the exploded token stream."""
+    """64-bit SimHash fingerprint per doc as two 32-bit halves
+    ``(fp_hi, fp_lo)``: per-bit majority vote of token-hash bits,
+    token weight = term frequency. JVM-side: 64 conditional sums over
+    the exploded token stream.
+
+    The token hash is md5-derived (first/second 8 hex chars as two
+    unsigned 32-bit words) so the fingerprint is engine-portable —
+    DuckDB computes the identical value, which makes the operator
+    oracle-checkable end-to-end."""
     toks = normalized_tokens(df, id_col, text_col)
-    h = toks.withColumn("h", F.xxhash64("token"))
+    m = F.md5("token")
+    h = toks.select(
+        id_col,
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h_lo"))
     votes = [
-        F.sum(F.when((F.shiftright("h", j).bitwiseAND(F.lit(1))) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
-        for j in range(64)
+        F.sum(F.when((F.shiftright(half, j).bitwiseAND(F.lit(1))) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{tag}{j}")
+        for tag, half in (("h", "h_hi"), ("l", "h_lo"))
+        for j in range(32)
     ]
     agg = h.groupBy(id_col).agg(*votes)
-    bit_terms = [
-        F.when(F.col(f"v{j}") > 0,
-               F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63))
-               ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    fingerprint = bit_terms[0]
-    for t in bit_terms[1:]:
-        fingerprint = fingerprint + t
-    return agg.select(id_col, fingerprint.alias("simhash"))
+
+    def pack(tag: str):
+        terms = [F.when(F.col(f"v{tag}{j}") > 0,
+                        F.lit(2 ** j).cast("long"))
+                  .otherwise(F.lit(0).cast("long")) for j in range(32)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return agg.select(id_col, pack("h").alias("fp_hi"),
+                      pack("l").alias("fp_lo"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
@@ -165,26 +178,34 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     chunks (a pair within distance<=3 shares at least one of 4 chunks
     exactly — pigeonhole), so no cross join."""
     sh = simhash(df, id_col, text_col)
-    chunks = [((F.shiftrightunsigned("simhash", 16 * c))
-               .bitwiseAND(F.lit(0xFFFF))).alias(f"c{c}") for c in range(4)]
-    blocked = sh.select(id_col, "simhash", *chunks)
+    chunk_exprs = [
+        (F.col("fp_hi").bitwiseAND(F.lit(0xFFFF))).alias("c0"),
+        F.shiftrightunsigned("fp_hi", 16).alias("c1"),
+        (F.col("fp_lo").bitwiseAND(F.lit(0xFFFF))).alias("c2"),
+        F.shiftrightunsigned("fp_lo", 16).alias("c3"),
+    ]
+    blocked = sh.select(id_col, "fp_hi", "fp_lo", *chunk_exprs)
     blocks = blocked.select(
-        id_col, "simhash",
+        id_col, "fp_hi", "fp_lo",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val"))
             for c in range(4)])).alias("b")
-    ).select(id_col, "simhash", "b.chunk", "b.val")
+    ).select(id_col, "fp_hi", "fp_lo", "b.chunk", "b.val")
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = (a.join(b, ["chunk", "val"])
               .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
               .select(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"),
-                      F.col("a.simhash").alias("sa"),
-                      F.col("b.simhash").alias("sb"))
+                      F.col("a.fp_hi").alias("ha"),
+                      F.col("a.fp_lo").alias("la"),
+                      F.col("b.fp_hi").alias("hb"),
+                      F.col("b.fp_lo").alias("lb"))
               .distinct())
     return (pairs.withColumn(
-                "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+                "hamming",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
 
