@@ -237,6 +237,24 @@ def q_doc_fingerprints(spark, sf_dir):
             .select("doc_id", "md5_fp").orderBy("doc_id"))
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the driver contract: synthetic media
+    table -> stub-decoded fixed-dim features -> per-kind stats (the
+    decode is a deterministic fake; the Spark plumbing is real).
+    Rows-only check: the payload bytes come from numpy's RNG, which
+    SQL can't replicate."""
+    from sketchlib import multimodal as M
+    media = M.synthetic_media(spark, 300, seed=42, partitions=8)
+    feats = M.extract_features(media, dim=16)
+    return (feats.select("media_id", "kind",
+                         F.aggregate("feature", F.lit(0.0),
+                                     lambda a, x: a + x).alias("fsum"))
+            .groupBy("kind")
+            .agg(F.count("*").alias("n_media"),
+                 F.round(F.sum("fsum"), 4).alias("sum_features"))
+            .orderBy("kind"))
+
+
 def q_pricing_summary(spark, sf_dir):
     """agg breadth (TPC-H Q1 shape) with exact decimal arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -314,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
         "top_customers_window": q_top_customers_window,
         "user_sessions": q_user_sessions,

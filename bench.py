@@ -63,9 +63,11 @@ def main() -> int:
                  "occm_user_freq", "heavy_hitter_tokens",
                  "hll_distinct_tokens", "kll_quantiles_price",
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
-                 "simhash_fingerprints", "ann_cosine_topk", "ann_lsh_topk",
-                 "lang_id", "quality_score", "pricing_summary",
-                 "top_customers_window", "user_sessions"]:
+                 "dedup_embedding_lsh", "simhash_fingerprints",
+                 "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
+                 "lang_id", "quality_score", "multimodal_features",
+                 "pricing_summary", "top_customers_window",
+                 "user_sessions"]:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -73,7 +75,7 @@ def main() -> int:
         assert n >= 0
 
     # ---- sketch-build throughput over synthetic transcripts ----------
-    n_convs = int(os.environ.get("SKETCHLIB_BENCH_CONVS", "20000"))
+    n_convs = int(os.environ.get("SKETCHLIB_BENCH_CONVS", "60000"))
     tdf = transcripts(spark, n_convs, seed=42,
                       partitions=max(cpus, 16)).cache()
     n_turns = tdf.count()  # materialize outside the timed window

@@ -189,9 +189,13 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
     persisted = None
     if pre_aggregate:
         from pyspark.sql import functions as F
+        # kernel parallelism follows the cluster (the per-pass kernels
+        # are the heavy stage at large |distinct|); the tree fold
+        # inside _run_pass bounds driver fan-in to tree_width
+        kparts = df.sparkSession.sparkContext.defaultParallelism
         df = (df.select(col).groupBy(col)
                 .agg(F.count("*").alias("__cnt"))
-                .repartition(tree_width))
+                .repartition(kparts))
         persisted = df.persist()
         weighted = True
 
