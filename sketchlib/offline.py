@@ -189,13 +189,14 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
     persisted = None
     if pre_aggregate:
         from pyspark.sql import functions as F
-        # kernel parallelism follows the cluster (the per-pass kernels
-        # are the heavy stage at large |distinct|); the tree fold
-        # inside _run_pass bounds driver fan-in to tree_width
-        kparts = df.sparkSession.sparkContext.defaultParallelism
+        # no explicit repartition: AQE sizes the aggregate's output
+        # partitions by data volume, so the per-pass kernels get one
+        # task per ~64MB of distinct keys — few tasks for small key
+        # spaces (3 passes of per-task fixed cost matter), every core
+        # for large ones; the tree fold inside _run_pass bounds driver
+        # fan-in to tree_width either way
         df = (df.select(col).groupBy(col)
-                .agg(F.count("*").alias("__cnt"))
-                .repartition(kparts))
+                .agg(F.count("*").alias("__cnt")))
         persisted = df.persist()
         weighted = True
 

@@ -1,0 +1,102 @@
+"""Hypothesis-driven merge-algebra properties (SURVEY.md §5.5(2)).
+
+For every order-independent sketch: splitting a stream into arbitrary
+partitions and merging the partials in an arbitrary order must
+reproduce the sequential sketch BIT-EXACTLY — the north rule's
+``merge(a,b) == merge(b,a)`` requirement, checked over randomized
+partitionings rather than a couple of hand-picked ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sketchlib.sketches.bloom import BloomFilter
+from sketchlib.sketches.cm import CMConfig, CountMin
+from sketchlib.sketches.countsketch import CountSketch
+from sketchlib.sketches.hll import HyperLogLog
+
+_STREAM = np.random.default_rng(11).integers(
+    0, 4000, 25000).astype(np.uint64)
+
+
+def _partials(factory, cuts: list[int], order: list[int]):
+    bounds = sorted({0, len(_STREAM), *cuts})
+    parts = [_STREAM[a:b] for a, b in zip(bounds, bounds[1:])]
+    acc = None
+    for i in order:
+        if i >= len(parts):
+            continue
+        sk = factory()
+        sk.update(parts[i])
+        acc = sk if acc is None else acc.merge(sk)
+    return acc
+
+
+partition_strategy = st.lists(
+    st.integers(min_value=1, max_value=len(_STREAM) - 1),
+    min_size=1, max_size=8)
+order_strategy = st.permutations(list(range(9)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_plain_cm_partition_invariant(cuts, order):
+    whole = CountMin(CMConfig(10, 5, 7, conservative=False))
+    whole.update(_STREAM)
+    merged = _partials(
+        lambda: CountMin(CMConfig(10, 5, 7, conservative=False)),
+        cuts, list(order))
+    assert (merged.core == whole.core).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_hll_partition_invariant(cuts, order):
+    whole = HyperLogLog(12)
+    whole.update(_STREAM)
+    merged = _partials(lambda: HyperLogLog(12), cuts, list(order))
+    assert (merged.registers == whole.registers).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_bloom_partition_invariant(cuts, order):
+    whole = BloomFilter(14, 4)
+    whole.update(_STREAM)
+    merged = _partials(lambda: BloomFilter(14, 4), cuts, list(order))
+    assert (merged.words == whole.words).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_countsketch_partition_invariant(cuts, order):
+    whole = CountSketch(10, 5)
+    whole.update(_STREAM)
+    merged = _partials(lambda: CountSketch(10, 5), cuts, list(order))
+    assert (merged.core == whole.core).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       cuts=partition_strategy)
+def test_conservative_cm_bounds_any_partitioning(seed, cuts):
+    """Conservative CM is order-dependent, so distributed builds are
+    not bit-exact — but the one-sided guarantee and the plain-CM upper
+    bound must survive ANY partitioning (SURVEY.md §7.5)."""
+    rng = np.random.default_rng(seed)
+    stream = rng.zipf(1.4, 8000).astype(np.uint64) % 1500
+    keys, true = np.unique(stream, return_counts=True)
+    bounds = sorted({0, len(stream), *[c % len(stream) for c in cuts if 0 < c % len(stream)]})
+    cfg = CMConfig(8, 5, 7, conservative=True)
+    acc = None
+    for a, b in zip(bounds, bounds[1:]):
+        sk = CountMin(cfg)
+        sk.update(stream[a:b])
+        acc = sk if acc is None else acc.merge(sk)
+    plain = CountMin(CMConfig(8, 5, 7, conservative=False))
+    plain.update(stream)
+    est = acc.estimate(keys)
+    assert (est >= true).all()                      # one-sided guarantee
+    assert (est <= plain.estimate(keys)).all()      # <= plain CM
