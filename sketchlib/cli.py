@@ -140,7 +140,7 @@ def cmd_query(args) -> int:
     import numpy as np
 
     from sketchlib.fasta import encode_kmer
-    from sketchlib.io import load_reference_sketch
+    from sketchlib.checkpoint_io import load_reference_sketch
 
     sk = load_reference_sketch(args.sketch)
     trues, raw = [], []

@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from sketchlib.io import CheckpointStore, Snapshot, sketch_fill_metrics
+from sketchlib.checkpoint_io import CheckpointStore, Snapshot, sketch_fill_metrics
 from sketchlib.sketches.cm import CMConfig, OfflineCountMin
 
 _U64 = np.uint64
@@ -69,14 +69,20 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
     ``weighted`` means ``df`` is pre-grouped (col, __cnt) pairs — the
     scale path where the JVM hash aggregate did the counting."""
     sc = df.sparkSession.sparkContext
-    b_coll = sc.broadcast(state.collision)
+    # round 0's collision table is all zeros — don't ship 4B/cell of
+    # zeros to every executor; the kernel re-creates it locally
+    coll_shape = state.collision.shape
+    b_coll = sc.broadcast(state.collision if state.collision.any()
+                          else None)
     b_core = sc.broadcast(state.core if kind == "collision" else None)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
         local = OfflineCountMin(cfg)
-        local.collision = b_coll.value.copy()
+        coll = (b_coll.value.copy() if b_coll.value is not None
+                else np.zeros(coll_shape, dtype=np.int32))
+        local.collision = coll
         rows = 0
         if kind == "collision":
             flags = np.zeros_like(local.collision, dtype=bool)
@@ -85,7 +91,7 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
                     continue
                 rows += int(pdf["__cnt"].sum()) if weighted else len(pdf)
                 flags |= local.mark_collisions_batch(
-                    _vals_u64(pdf[col]), round_, b_core.value, b_coll.value)
+                    _vals_u64(pdf[col]), round_, b_core.value, coll)
             payload = np.packbits(flags.reshape(-1)).tobytes()
         else:
             for pdf in batches:
