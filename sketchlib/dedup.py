@@ -101,15 +101,26 @@ def jaccard_pairs(df: DataFrame, threshold: float, shingle_n: int = 3,
     the scale path."""
     sh = shingles(df, shingle_n, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, "shingle")
-              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                       F.col(f"b.{id_col}").alias("id_b"))
-              .agg(F.count("*").alias("inter")))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # restrict BEFORE the shingle join: candidates x a-side shingles,
+        # then equi-join the b side on (id_b, shingle). Work is linear in
+        # |candidates| * shingles-per-doc — the all-pairs self-join never
+        # materializes (it would dominate everything at scale)
+        inter = (candidates
+                 .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),
+                       "id_a")
+                 .join(sh.select(F.col(id_col).alias("id_b"), "shingle"),
+                       ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("inter")))
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (a.join(b, "shingle")
+                  .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                  .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                           F.col(f"b.{id_col}").alias("id_b"))
+                  .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
