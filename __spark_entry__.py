@@ -102,6 +102,29 @@ def q_hll_distinct_tokens(spark, sf_dir):
     return Q.approx_distinct(spark, toks, "token", p=14)
 
 
+def q_hll_distinct_per_lang(spark, sf_dir):
+    """grouped + salted sketch aggregation through the driver contract:
+    one HLL per language via the two-stage (key, salt) hot-key path
+    (rows-only: HLL estimates are approximate)."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize
+    from sketchlib.sketches.hll import HyperLogLog
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.normalized_tokens(docs.select("doc_id", "lang", "text"))
+    with_lang = (toks.join(docs.select("doc_id", "lang"), "doc_id")
+                 .select("lang", F.xxhash64("token").alias("kh")))
+    grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
+                                     _p(HyperLogLog, 14), salt_buckets=8)
+    rows = [(r["lang"], int(round(deserialize(bytes(r["sketch"]))
+                                  .estimate())))
+            for r in grouped.collect()]
+    return (spark.createDataFrame(rows, "lang string, n_distinct_est long")
+            .orderBy("lang"))
+
+
 def q_distinct_tokens_per_lang(spark, sf_dir):
     """exact grouped distinct (oracle for the HLL sibling)."""
     docs = _t(spark, sf_dir, "documents")
@@ -315,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_event_freq": q_countsketch_event_freq,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "hll_distinct_tokens": q_hll_distinct_tokens,
+        "hll_distinct_per_lang": q_hll_distinct_per_lang,
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "kll_quantiles_price": q_kll_quantiles_price,
