@@ -97,12 +97,33 @@ class HyperLogLog:
         return 1.03896 / math.sqrt(self.m)
 
     def to_bytes(self) -> bytes:
-        return self.MAGIC + struct.pack("<BI", 1, self.p) + self.registers.tobytes()
+        """Blob format v2: sparse (index,rank) pairs when <1/5 of the
+        registers are set, else dense — the reference library's
+        sparse-then-dense promotion (reference include/sparse.h) applied
+        where it matters for us: partial blobs shuffled/collected during
+        grouped merges, where low-cardinality groups dominate."""
+        nz = np.flatnonzero(self.registers)
+        if nz.size * 5 < self.registers.size:
+            idx = nz.astype("<u4")
+            vals = self.registers[nz]
+            return (self.MAGIC + struct.pack("<BII", 2, self.p, nz.size)
+                    + idx.tobytes() + vals.tobytes())
+        return (self.MAGIC + struct.pack("<BI", 1, self.p)
+                + self.registers.tobytes())
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
         assert data[:4] == cls.MAGIC
-        _, p = struct.unpack_from("<BI", data, 4)
+        ver, p = struct.unpack_from("<BI", data, 4)
+        if ver == 2:
+            _, _, n = struct.unpack_from("<BII", data, 4)
+            off = 4 + struct.calcsize("<BII")
+            idx = np.frombuffer(data, dtype="<u4", offset=off, count=n)
+            vals = np.frombuffer(data, dtype=np.uint8,
+                                 offset=off + 4 * n, count=n)
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            regs[idx] = vals
+            return cls(p, regs)
         off = 4 + struct.calcsize("<BI")
         regs = np.frombuffer(data, dtype=np.uint8, offset=off,
                              count=1 << p).copy()
