@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the properties that make the
+queries scale must be visible in the optimized plan, not assumed.
+
+- parquet filter pushdown + column pruning reach the scan;
+- small-side joins broadcast (no sort-merge join for the dim side);
+- the sketch-build pre-aggregate runs as a Tungsten partial+final
+  hash aggregate (map-side combine before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(E.queries()["pricing_summary"](spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters")[1][:200]
+    # projection pruning: the scan schema must not include l_comment
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_top_customers_broadcasts_dim_side(spark):
+    plan = _plan(E.queries()["top_customers_window"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_preaggregate_has_partial_agg(spark):
+    from sketchlib.tokenize import transcript_tokens
+    tdf = spark.read.parquet(f"{SF}/events.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from sketchlib import dedup as D
+    toks = D.normalized_tokens(docs)
+    plan = _plan(toks.groupBy("token").agg(F.count("*").alias("c")))
+    import re
+    # map-side combine: the HashAggregate step carrying partial_count
+    # must have a smaller step number than the Exchange step
+    m = re.search(r"\((\d+)\) HashAggregate[^(]*partial_count", plan)
+    x = re.search(r"\((\d+)\) Exchange", plan)
+    assert m and x, plan[:500]
+    assert int(m.group(1)) < int(x.group(1))
+
+
+def test_heavy_hitters_uses_broadcast_semi_join(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from sketchlib import dedup as D
+    from sketchlib import queries as Q
+    plan = _plan(Q.heavy_hitters(D.normalized_tokens(docs), "token", 5))
+    assert "LeftSemi" in plan and "Broadcast" in plan
