@@ -75,38 +75,24 @@ def countsketch_point_frequency(spark: SparkSession, df: DataFrame,
     return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
 
 
-def heavy_hitters(df: DataFrame, key_col: str, k: int,
-                  candidate_factor: int = 4) -> DataFrame:
-    """Exact-verified top-k heavy hitters (SURVEY.md L11 position):
-    per-partition local top-(factor*k) candidates (map-side partial
-    aggregation), then one exact recount of the candidate union —
-    Spark-idiomatic two-pass heavy hitters whose output counts are
-    exact. Returns (key, cnt) ordered by (cnt desc, key asc).
+def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Exact top-k heavy hitters (SURVEY.md L11/L12 position): one
+    hash aggregation (map-side partial combine) followed by
+    ``orderBy(...).limit(k)``, which Catalyst compiles to
+    **TakeOrderedAndProject** — a bounded per-partition heap + k-row
+    driver merge, the Spark-native analog of the reference's
+    ``ObjHashHeap`` top-k (reference include/heap.h:29-123). No full
+    sort ever happens; at any scale the post-aggregation shuffle
+    carries |distinct| rows and the final stage ships k rows per
+    partition. Returns (key, cnt) ordered by (cnt desc, key asc),
+    counts exact.
 
-    At 100 TB the first pass touches every row once with a map-side
-    combine (partial groupBy) and only ships factor*k rows per
-    partition; the recount is a semi-joined aggregation over the
-    candidate set.
+    (The CM sketch remains the tool for *point* frequency probes and
+    for candidate pre-filters when even the |distinct|-row aggregate
+    is infeasible; for top-k itself the exact aggregate + bounded heap
+    is both faster and recall-perfect.)
     """
-    import pandas as pd  # noqa: F811
-
-    local_k = candidate_factor * k
-
-    def local_top(pdf_iter):
-        from collections import Counter
-        c = Counter()
-        for pdf in pdf_iter:
-            c.update(pdf[key_col].value_counts().to_dict())
-        top = c.most_common(local_k)
-        if top:
-            yield pd.DataFrame({key_col: [t[0] for t in top]})
-
-    key_type = [f for f in df.schema if f.name == key_col][0].dataType.simpleString()
-    candidates = (df.select(key_col)
-                  .mapInPandas(local_top, schema=f"{key_col} {key_type}")
-                  .distinct())
-    return (df.join(F.broadcast(candidates), key_col, "left_semi")
-              .groupBy(key_col).agg(F.count("*").alias("cnt"))
+    return (df.groupBy(key_col).agg(F.count("*").alias("cnt"))
               .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
               .limit(k))
 

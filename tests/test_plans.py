@@ -53,9 +53,11 @@ def test_sketch_preaggregate_has_partial_agg(spark):
     assert int(m.group(1)) < int(x.group(1))
 
 
-def test_heavy_hitters_uses_broadcast_semi_join(spark):
+def test_heavy_hitters_uses_bounded_heap_not_full_sort(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     from sketchlib import dedup as D
     from sketchlib import queries as Q
     plan = _plan(Q.heavy_hitters(D.normalized_tokens(docs), "token", 5))
-    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan   # per-partition heap + k-merge
+    assert "partial_count" in plan           # map-side combine
+    assert "Sort " not in plan               # never a full sort
