@@ -132,16 +132,23 @@ def bloom_membership(spark: SparkSession, build_df: DataFrame,
 
 def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,
                      qs: list[float], kind: str = "kll",
-                     k: int = 200, delta: float = 200.0) -> DataFrame:
+                     k: int = 200, delta: float = 200.0,
+                     pre_aggregate: bool = False) -> DataFrame:
     """Quantiles of ``df[value_col]`` via KLL or t-digest, returned as
     (q, value) rows. Quantile spec (KLL): smallest inserted value whose
-    weighted rank >= ceil(q * n)."""
+    weighted rank >= ceil(q * n).
+
+    ``pre_aggregate`` (t-digest only): JVM groupBy(value).count()
+    first, weighted centroid inserts after — the scale path for
+    columns with heavy value repetition (|distinct| kernel work
+    instead of |rows|)."""
     from sketchlib.sketches.kll import KLL
     from sketchlib.sketches.tdigest import TDigest
     col = df.select(F.col(value_col).cast("double").alias("v"))
     if kind == "kll":
         sk = build_sketch(col, "v", partial(KLL, k), as_u64=False)
     else:
-        sk = build_sketch(col, "v", partial(TDigest, delta), as_u64=False)
+        sk = build_sketch(col, "v", partial(TDigest, delta), as_u64=False,
+                          pre_aggregate=pre_aggregate)
     rows = [(float(q), float(sk.quantile(q))) for q in qs]
     return spark.createDataFrame(rows, "q double, value double")

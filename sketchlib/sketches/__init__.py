@@ -32,3 +32,8 @@ try:
     register(CountSketch)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.pcsa import PCSA
+    register(PCSA)
+except ImportError:
+    pass

@@ -88,6 +88,26 @@ class TDigest:
         if self._buf_n >= self.BUFFER:
             self._flush()
 
+    def update_weighted(self, vals: np.ndarray, counts: np.ndarray) -> None:
+        """Weighted insert — the pre-aggregate scale path: a grouped
+        (value, count) table feeds centroids directly, so a column
+        with heavy value repetition (discrete measures, prices) costs
+        |distinct| work instead of |rows| (centroid of weight w at
+        mean v is exactly w inserts of v)."""
+        vals = np.asarray(vals, dtype=np.float64)
+        counts = np.asarray(counts, dtype=np.float64)
+        keep = ~np.isnan(vals) & (counts > 0)
+        vals, counts = vals[keep], counts[keep]
+        if vals.size == 0:
+            return
+        self._flush()
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+        self.count += float(counts.sum())
+        means = np.concatenate([self.means, vals])
+        weights = np.concatenate([self.weights, counts])
+        self.means, self.weights = _compress(means, weights, self.delta)
+
     def _flush(self) -> None:
         if not self._buf:
             return
