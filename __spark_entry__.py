@@ -23,7 +23,27 @@ from sketchlib import textstats as TS
 from sketchlib import ann as A
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Defensive: make sketchlib importable on executor Python workers
+    even if the harness built its own bare SparkSession from another
+    working directory (local-mode workers usually inherit the driver's
+    sys.path, but addPyFile makes it unconditional)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from sketchlib.session import _ship_package
+        _ship_package(spark)
+    except Exception:
+        pass
+    _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -267,6 +287,7 @@ def q_multimodal_features(spark, sf_dir):
     Rows-only check: the payload bytes come from numpy's RNG, which
     SQL can't replicate."""
     from sketchlib import multimodal as M
+    _ensure_shipped(spark)
     media = M.synthetic_media(spark, 300, seed=42, partitions=8)
     feats = M.extract_features(media, dim=16)
     return (feats.select("media_id", "kind",
