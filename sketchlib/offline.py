@@ -93,18 +93,31 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
                 flags |= local.mark_collisions_batch(
                     _vals_u64(pdf[col]), round_, b_core.value, coll)
             payload = np.packbits(flags.reshape(-1)).tobytes()
-        else:
+        elif kind == "count":
             for pdf in batches:
                 if not len(pdf):
                     continue
                 w = pdf["__cnt"].to_numpy() if weighted else None
                 rows += int(w.sum()) if weighted else len(pdf)
-                v = _vals_u64(pdf[col])
-                if kind == "count":
-                    local.update_count_batch(v, weights=w)
-                else:  # occm combined
-                    local.update_count_collision_batch(v, round_, total_round,
-                                                       weights=w)
+                local.update_count_batch(_vals_u64(pdf[col]), weights=w)
+            payload = local.to_bytes()
+        else:  # occm combined — conservative is batching-sensitive, so
+            # process the partition as ONE batch: the result is then a
+            # pure function of the partition's multiset (Arrow batch
+            # size no longer matters; driver-local == one-partition)
+            vs, ws = [], []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vs.append(_vals_u64(pdf[col]))
+                if weighted:
+                    ws.append(pdf["__cnt"].to_numpy())
+            if vs:
+                v = np.concatenate(vs)
+                w = np.concatenate(ws) if weighted else None
+                rows += int(w.sum()) if weighted else len(v)
+                local.update_count_collision_batch(v, round_, total_round,
+                                                   weights=w)
             # ship only deltas implied by kernel type: core (sum-merge)
             # and collision (max-merge)
             payload = local.to_bytes()
@@ -172,10 +185,37 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
     return _PassResult(new_state, lineage)
 
 
+def _build_local_weighted(pdf, col: str, cfg: CMConfig,
+                          rounds: int) -> OfflineCountMin:
+    """Driver-local round loop over a small pre-aggregated (key, count)
+    table — identical batch kernels (they are order-independent over a
+    batch), so the result is bit-identical to a one-partition
+    distributed run, without 2n-1 Spark jobs + broadcasts."""
+    vals = _vals_u64(pdf[col])
+    weights = pdf["__cnt"].to_numpy()
+    state = OfflineCountMin(cfg)
+    for r in range(rounds):
+        if not cfg.conservative:
+            if r > 0:
+                flags = state.mark_collisions_batch(
+                    vals, r, state.core, state.collision)
+                state.collision = np.maximum(
+                    state.collision,
+                    np.where(flags, np.int32(r - 1), np.int32(0)))
+            state.clear_core()
+            state.update_count_batch(vals, weights=weights)
+        else:
+            state.clear_core()
+            state.update_count_collision_batch(vals, r, rounds,
+                                               weights=weights)
+    return state
+
+
 def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
                   checkpoint_dir: str | None = None,
                   tree_width: int = 8,
-                  pre_aggregate: bool = False) -> OfflineCountMin:
+                  pre_aggregate: bool = False,
+                  local_threshold: int = 200_000) -> OfflineCountMin:
     """Multi-round OCM/OCCM build over ``df[col]`` (int64/uint64 tokens).
 
     With ``checkpoint_dir``, each completed pass commits a snapshot and
@@ -186,7 +226,11 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
     is computed ONCE by a JVM hash aggregate and persisted, so each of
     the 2n-1 passes re-reads |distinct| weighted rows instead of
     re-scanning the raw stream — the offline algorithm's multi-pass
-    cost collapses to one scan plus n cheap sketch passes.
+    cost collapses to one scan plus n cheap sketch passes. When the
+    distinct-key table is tiny (≤ ``local_threshold`` rows, no
+    checkpointing), the round loop runs driver-local instead — the
+    broadcast-threshold analog: 2n-1 Spark jobs + state broadcasts
+    would cost more than the kernels themselves.
     """
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
     key = _config_key(cfg, rounds)
@@ -205,6 +249,12 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
                 .agg(F.count("*").alias("__cnt")))
         persisted = df.persist()
         weighted = True
+        if store is None and local_threshold > 0:
+            n_distinct = persisted.count()  # materializes the persist
+            if n_distinct <= local_threshold:
+                pdf = persisted.toPandas()
+                persisted.unpersist()
+                return _build_local_weighted(pdf, col, cfg, rounds)
 
     def passes():
         for r in range(rounds):

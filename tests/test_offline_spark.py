@@ -110,3 +110,17 @@ def test_lineage_records_every_partition_once(tokens, tmp_path):
         assert sorted(pids) == list(range(9)), s
         assert meta["metrics"]["max_counter"] > 0
         assert sum(e["rows"] for e in meta["lineage"]) > 0
+
+def test_local_fastpath_bitexact_vs_distributed(spark, tokens):
+    """The small-key-space driver-local round loop must reproduce the
+    distributed pre-aggregated build bit-exactly (the batch kernels
+    are order-independent, so one partition == local)."""
+    from sketchlib.offline import build_offline as bo
+    for conservative in (False, True):
+        cfg = CMConfig(10, 3, 7, conservative)
+        local = bo(tokens, "token_u64", cfg, 3, pre_aggregate=True,
+                   local_threshold=10_000_000)
+        dist = bo(tokens.coalesce(1), "token_u64", cfg, 3,
+                  pre_aggregate=True, local_threshold=0)
+        assert (local.core == dist.core).all(), conservative
+        assert (local.collision == dist.collision).all(), conservative
