@@ -91,15 +91,20 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
             grouped = grouped.repartition(kernel_partitions)
 
         def partial_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            sk = None
+            # one kernel call per partition (not per Arrow batch) so
+            # order-sensitive kernels (conservative CM) are a pure
+            # function of the partition's multiset — reproducible
+            # regardless of Arrow batch sizing
+            vs, ws = [], []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                if sk is None:
-                    sk = factory()
-                vals = _as_u64(pdf[col]) if as_u64 else pdf[col].to_numpy()
-                sk.update_weighted(vals, pdf["__cnt"].to_numpy())
-            if sk is not None:
+                vs.append(_as_u64(pdf[col]) if as_u64
+                          else pdf[col].to_numpy())
+                ws.append(pdf["__cnt"].to_numpy())
+            if vs:
+                sk = factory()
+                sk.update_weighted(np.concatenate(vs), np.concatenate(ws))
                 yield pd.DataFrame({"sketch": [sk.to_bytes()]})
 
         blobs = grouped.mapInPandas(partial_build, schema="sketch binary")
