@@ -99,3 +99,45 @@ def windowed_counts(stream_df: DataFrame, key_col: str, ts_col: str,
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window).alias("w"), key_col)
             .agg(F.count("*").alias("n")))
+
+
+def stateful_sketch_stream(stream_df: DataFrame, key_col: str,
+                           value_col: str, factory: Callable[[], object],
+                           probe_keys: list | None = None):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    one persistent sketch per key, updated incrementally across
+    micro-batches; emits (key, n_seen, estimate_blob_len, blob) after
+    each batch touches the key.
+
+    This is the ``applyInPandasWithState`` path for operators Spark's
+    built-in windowed aggregates can't express — the per-key sketch
+    lives in the state store (binary blob), so recovery replays from
+    the checkpoint exactly like any stateful aggregation. The batch
+    harness (aggregate.py) and this share the same Sketch protocol.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        sk = deserialize(bytes(state.get[1])) if state.exists else factory()
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            vals = pdf["vh"].to_numpy()
+            sk.update(vals.view(np.uint64) if vals.dtype == np.int64
+                      else vals.astype(np.uint64))
+            n += len(pdf)
+        blob = sk.to_bytes()
+        state.update((int(n), bytearray(blob)))
+        yield pd.DataFrame({"key": [key[0]], "n_seen": [int(n)],
+                            "blob": [blob]})
+
+    out_schema = "key string, n_seen long, blob binary"
+    state_schema = "n long, blob binary"
+    return (stream_df
+            .selectExpr(f"{key_col} AS key",
+                        f"xxhash64({value_col}) AS vh")
+            .groupBy("key")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

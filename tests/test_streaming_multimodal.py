@@ -87,3 +87,43 @@ def test_multimodal_features_and_frame_plan(spark):
     with pytest.raises(Exception):
         extract_features(media, dim=16,
                          decoder=_unsupported_decode).count()
+
+def test_stateful_sketch_stream_applyinpandaswithstate(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-key HLL of
+    a value column, updated across micro-batches, verified against the
+    exact batch distinct count."""
+    from sketchlib.sketches.base import deserialize
+    from sketchlib.sketches.hll import HyperLogLog
+    from sketchlib.streaming import stateful_sketch_stream
+
+    src = str(tmp_path / "state_src")
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(6000)
+    ev.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stateful_sketch_stream(stream, "event_type", "user_id",
+                                 lambda: HyperLogLog(14))
+    q = (out.writeStream.format("memory").queryName("state_out")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # last emitted row per key carries the final state
+    res = spark.sql("""
+        SELECT key, n_seen, blob FROM (
+          SELECT *, row_number() OVER (PARTITION BY key
+                                       ORDER BY n_seen DESC) AS rn
+          FROM state_out) WHERE rn = 1""").collect()
+    assert res, "no stateful output"
+    exact = {r["event_type"]: (r["n"], r["d"]) for r in
+             ev.groupBy("event_type")
+               .agg(F.count("*").alias("n"),
+                    F.countDistinct("user_id").alias("d")).collect()}
+    assert {r.key for r in res} == set(exact)
+    for r in res:
+        n_rows, n_distinct = exact[r.key]
+        assert r.n_seen == n_rows
+        est = deserialize(bytes(r.blob)).estimate()
+        # p=14 HLL: ~0.8% expected rel. error; allow 5%
+        assert abs(est - n_distinct) <= max(3, 0.05 * n_distinct)
