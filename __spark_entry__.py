@@ -115,33 +115,52 @@ def q_heavy_hitter_tokens(spark, sf_dir):
     return Q.heavy_hitters(toks, "token", 20)
 
 
+# 6-sigma acceptance band for HLL at p=14 (rel. std err 1.03896/sqrt(m),
+# reference include/hll.h:739). The estimate is deterministic given the
+# data and seeds, so `within_bound` is a hard gate, not a flaky one:
+# if the estimator drifts out of 6 sigma the oracle comparison fails.
+_HLL_P = 14
+_HLL_BOUND = 6 * 1.03896 / ((1 << _HLL_P) ** 0.5)
+
+
 def q_hll_distinct_tokens(spark, sf_dir):
-    """L1: HLL distinct estimate (rows-only check; bound-tested in CI)."""
+    """L1: HLL distinct estimate, strict-gated: emits the exact count
+    (SQL-reproducible) plus a 6-sigma ``within_bound`` flag computed
+    from the real HLL estimate; the oracle asserts the flag is true."""
     docs = _t(spark, sf_dir, "documents")
     toks = D.normalized_tokens(docs)
-    return Q.approx_distinct(spark, toks, "token", p=14)
+    est = Q.approx_distinct(spark, toks, "token", p=_HLL_P).collect()[0][0]
+    exact = toks.select(F.countDistinct("token")).collect()[0][0]
+    ok = abs(est - exact) <= _HLL_BOUND * exact
+    return spark.createDataFrame([(int(exact), bool(ok))],
+                                 "n_distinct long, within_bound boolean")
 
 
 def q_hll_distinct_per_lang(spark, sf_dir):
     """grouped + salted sketch aggregation through the driver contract:
-    one HLL per language via the two-stage (key, salt) hot-key path
-    (rows-only: HLL estimates are approximate)."""
+    one HLL per language via the two-stage (key, salt) hot-key path,
+    finalized DISTRIBUTED (mapInPandas over the grouped blobs — results
+    never funnel through the driver, so the same plan holds at 10^5
+    groups). Strict gate: exact per-group count + 6-sigma bound flag."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches
-    from sketchlib.sketches.base import deserialize
+    from sketchlib.aggregate import build_grouped_sketches, finalize_grouped
     from sketchlib.sketches.hll import HyperLogLog
 
     docs = _t(spark, sf_dir, "documents")
     toks = D.normalized_tokens(docs.select("doc_id", "lang", "text"))
     with_lang = (toks.join(docs.select("doc_id", "lang"), "doc_id")
-                 .select("lang", F.xxhash64("token").alias("kh")))
+                 .select("lang", "token", F.xxhash64("token").alias("kh")))
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
-                                     _p(HyperLogLog, 14), salt_buckets=8)
-    rows = [(r["lang"], int(round(deserialize(bytes(r["sketch"]))
-                                  .estimate())))
-            for r in grouped.collect()]
-    return (spark.createDataFrame(rows, "lang string, n_distinct_est long")
+                                     _p(HyperLogLog, _HLL_P), salt_buckets=8)
+    est = finalize_grouped(grouped, Q.hll_estimate, "n_est", "double")
+    exact = (with_lang.groupBy("lang")
+             .agg(F.countDistinct("token").alias("n_distinct")))
+    return (est.join(exact, "lang")
+            .select("lang", "n_distinct",
+                    (F.abs(F.col("n_est") - F.col("n_distinct"))
+                     <= F.lit(_HLL_BOUND) * F.col("n_distinct"))
+                    .alias("within_bound"))
             .orderBy("lang"))
 
 
@@ -176,9 +195,13 @@ def q_kll_quantiles_price(spark, sf_dir):
 
 
 def q_tdigest_quantiles_value(spark, sf_dir):
-    """L13/t-digest (approximate; rows-only, bound-tested in CI)."""
+    """L13/t-digest in its exact regime (delta=inf => every point its
+    own centroid => rank-exact quantiles, mirroring the KLL gate); the
+    approximate regime stays bound-tested in CI."""
+    import math
     ev = _t(spark, sf_dir, "events")
-    return Q.sketch_quantiles(spark, ev, "value", _QS, kind="tdigest")
+    return Q.sketch_quantiles(spark, ev, "value", _QS, kind="tdigest",
+                              delta=math.inf, pre_aggregate=True)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -256,10 +279,37 @@ def q_ann_cosine_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _ann_lsh_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings plus five power-of-two-scaled copies of each query
+    vector (ids 1_000_000 + qid*10 + j, scale 2^j). Scaled copies share
+    the query's SRP signature in EVERY table (sign(2^j v.r) ==
+    sign(v.r)), so LSH recall of the true top-5 (= the copies, cosine
+    exactly 1.0; power-of-two scaling is exact in IEEE754) is
+    guaranteed 1.0 — which makes the exact top-k oracle apply to the
+    approximate operator."""
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    qs = base.filter(F.col("vec_id") < 10)
+    copies = (qs.select("vec_id", "embedding",
+                        F.explode(F.array(*[F.lit(j) for j in range(1, 6)]))
+                        .alias("j"))
+              .select((F.lit(1_000_000) + F.col("vec_id") * 10
+                       + F.col("j")).alias("vec_id"),
+                      F.transform(
+                          "embedding",
+                          lambda x: x * F.pow(F.lit(2.0), F.col("j")))
+                      .alias("embedding")))
+    return base.unionByName(copies)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH ANN posed with a recall-guaranteed construction (see
+    _ann_lsh_corpus) so the exact top-k oracle is a strict gate."""
     emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 10)
-    return (A.ann_topk_lsh(emb, qs, k=5)
+    corpus = _ann_lsh_corpus(emb)
+    qs = corpus.filter(F.col("vec_id") < 10)
+    return (A.ann_topk_lsh(corpus, qs, k=5)
             .orderBy("query_id", "rank"))
 
 
@@ -284,8 +334,8 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract: synthetic media
     table -> stub-decoded fixed-dim features -> per-kind stats (the
     decode is a deterministic fake; the Spark plumbing is real).
-    Rows-only check: the payload bytes come from numpy's RNG, which
-    SQL can't replicate."""
+    Strict gate: the payload bytes and the stub features follow a
+    closed arithmetic form the DuckDB oracle reproduces exactly."""
     from sketchlib import multimodal as M
     _ensure_shipped(spark)
     media = M.synthetic_media(spark, 300, seed=42, partitions=8)
@@ -468,15 +518,52 @@ WHERE bit_count(xor(a.fp_hi, b.fp_hi))
       + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
 ORDER BY id_a, id_b""")
 
-    quantile_sql = f"""
-WITH s AS (SELECT l_extendedprice AS v,
-                  row_number() OVER (ORDER BY l_extendedprice) AS rn,
+    def rank_quantile_sql(table: str, col: str) -> str:
+        return f"""
+WITH s AS (SELECT {col} AS v,
+                  row_number() OVER (ORDER BY {col}) AS rn,
                   COUNT(*) OVER () AS n
-           FROM lineitem),
+           FROM {table}),
 qs AS (SELECT unnest([{', '.join(str(q) for q in _QS)}]) AS q)
 SELECT q, v AS value FROM qs JOIN s
   ON s.rn = CAST(ceil(q * s.n) AS BIGINT)
 ORDER BY q"""
+
+    quantile_sql = rank_quantile_sql("lineitem", "l_extendedprice")
+
+    ann_lsh_sql = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+js AS (SELECT unnest([1, 2, 3, 4, 5]) AS j),
+copies AS (SELECT 1000000 + b.vec_id * 10 + j AS vec_id,
+                  list_transform(v, x -> x * power(2.0, j)) AS v
+           FROM base b, js WHERE b.vec_id < 10),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, c.v) AS sim
+  FROM qs CROSS JOIN corpus c WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    multimodal_sql = """
+WITH m AS (SELECT i,
+                  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                  256 + (i * 37) % 256 AS L
+           FROM range(300) t(i)),
+b AS (SELECT m.i, m.kind, (m.i * 131 + ks.k * 17 + 42) % 256 AS byte
+      FROM m, LATERAL (SELECT unnest(range(m.L)) AS k) ks),
+s AS (SELECT i, kind, SUM(byte) AS fsum FROM b GROUP BY 1, 2)
+SELECT kind, COUNT(*) AS n_media,
+       ROUND(CAST(SUM(fsum) AS DOUBLE), 4) AS sum_features
+FROM s GROUP BY kind ORDER BY kind"""
 
     return {
         "cm_event_type_freq": (
@@ -506,6 +593,17 @@ ORDER BY q"""
             "      ORDER BY o_custkey LIMIT 500) "
             "ORDER BY o_custkey"),
         "kll_quantiles_price": quantile_sql,
+        "tdigest_quantiles_value": rank_quantile_sql("events", "value"),
+        "hll_distinct_tokens": (
+            f"SELECT COUNT(DISTINCT token) AS n_distinct, TRUE AS "
+            f"within_bound FROM {_TOKENS_SQL} tk"),
+        "hll_distinct_per_lang": (
+            "SELECT d.lang, COUNT(DISTINCT tk.token) AS n_distinct, "
+            "TRUE AS within_bound "
+            f"FROM {_TOKENS_SQL} tk JOIN documents d USING (doc_id) "
+            "GROUP BY d.lang ORDER BY d.lang"),
+        "ann_lsh_topk": ann_lsh_sql,
+        "multimodal_features": multimodal_sql,
         "dedup_exact": (
             "SELECT md5(lower(text)) AS fingerprint, COUNT(*) AS n_dups, "
             f"MIN(doc_id) AS min_id FROM {_DUP_SQL} d "
@@ -612,9 +710,9 @@ WITH w AS (SELECT user_id, ts, event_id,
                                 ORDER BY ts, event_id) AS prev_ts
            FROM events)
 SELECT user_id,
-       sum(CASE WHEN prev_ts IS NULL
+       CAST(sum(CASE WHEN prev_ts IS NULL
                  OR date_diff('second', prev_ts, ts) > 1800
-                THEN 1 ELSE 0 END) AS n_sessions,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM w GROUP BY user_id ORDER BY user_id""",
     }

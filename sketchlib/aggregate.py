@@ -199,3 +199,28 @@ def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
     return (partials.groupBy(*key_cols)
             .applyInPandas(merge_group,
                            schema=f"{key_schema}, sketch binary"))
+
+
+def finalize_grouped(grouped: DataFrame, finalize: Callable[[object], object],
+                     out_col: str, out_type: str = "double") -> DataFrame:
+    """Finalize grouped sketch blobs *distributed*: replace the
+    ``sketch`` column with ``finalize(sketch)`` via mapInPandas, so at
+    10^5+ groups the estimates never funnel through the driver (the
+    driver-side collect-and-rebuild anti-pattern). ``finalize`` must be
+    picklable (module-level function or partial)."""
+    key_fields = [f for f in grouped.schema if f.name != "sketch"]
+    key_names = [f.name for f in key_fields]
+    schema = (", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in key_fields)
+              + f", {out_col} {out_type}")
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[key_names].copy()
+            out[out_col] = [finalize(deserialize(bytes(b)))
+                            for b in pdf["sketch"]]
+            yield out
+
+    return grouped.mapInPandas(per_batch, schema=schema)

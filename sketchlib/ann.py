@@ -111,8 +111,12 @@ def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int,
         / (_norm(F.col("qv")) * _norm(F.col("v"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
+    # round (not floor): engineered recall-guaranteed corpora put the
+    # true neighbors at cosine exactly 1.0, where both engines land
+    # within ~1e-15 of 1.0 from opposite sides — floor at the 1e-6
+    # grid is discontinuous there, round is not
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", "neighbor_id",
-                    (F.floor(F.col("sim") * 1e6) / 1e6).alias("sim"),
+                    F.round(F.col("sim"), 6).alias("sim"),
                     F.col("rn").alias("rank")))

@@ -10,7 +10,6 @@ a real decoder (PIL / torchaudio / pyav) changes one function.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -30,23 +29,33 @@ MEDIA_SCHEMA = T.StructType([
 
 def synthetic_media(spark: SparkSession, n: int, seed: int = 42,
                     partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table. Payload bytes follow a closed
+    arithmetic form — ``byte[k] = (id*131 + k*17 + seed) % 256`` over a
+    length of ``256 + (id*37) % 256`` — so an independent engine
+    (the DuckDB oracle) can reproduce the exact bytes/feature sums and
+    strict-equality-gate the whole mapInPandas pipeline, which an RNG
+    payload cannot. The plumbing (binary column built per Arrow batch,
+    nullable typed metadata) is unchanged from a real media table."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rows = []
             for i in ids:
-                rng = np.random.default_rng((seed << 32) ^ int(i))
-                kind = ["image", "audio", "video"][int(i) % 3]
+                i = int(i)
+                kind = ["image", "audio", "video"][i % 3]
+                length = 256 + (i * 37) % 256
+                payload = bytes(((i * 131 + np.arange(length) * 17 + seed)
+                                 % 256).astype(np.uint8))
                 rows.append({
-                    "media_id": int(i),
+                    "media_id": i,
                     "kind": kind,
-                    "payload": rng.bytes(256 + int(rng.integers(0, 256))),
+                    "payload": payload,
                     "mime": {"image": "image/png", "audio": "audio/wav",
                              "video": "video/mp4"}[kind],
-                    "width": int(rng.integers(64, 1920)) if kind != "audio" else None,
-                    "height": int(rng.integers(64, 1080)) if kind != "audio" else None,
-                    "duration_ms": int(rng.integers(500, 60000)) if kind != "image" else None,
+                    "width": 64 + (i * 13) % 1856 if kind != "audio" else None,
+                    "height": 64 + (i * 11) % 1016 if kind != "audio" else None,
+                    "duration_ms": (500 + (i * 197) % 59500
+                                    if kind != "image" else None),
                 })
             yield pd.DataFrame(rows)
 
@@ -54,16 +63,17 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42,
 
 
 def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-features from a payload hash.
-
-    A real deployment replaces this with actual decode + model
-    inference; the Spark plumbing (Arrow batches in, fixed-dim float
-    vectors out) is identical.
+    """STUB decoder: deterministic pseudo-features — feature j is the
+    sum of payload bytes at positions ``k ≡ j (mod dim)`` (a strided
+    byte histogram; every value is an integer exactly representable in
+    float32). A real deployment replaces this with actual decode +
+    model inference; the Spark plumbing (Arrow batches in, fixed-dim
+    float vectors out) is identical.
     """
-    digest = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[:dim * 4],
-                        dtype=np.uint32)
-    return (raw % 10_000).astype(np.float32) / 10_000.0
+    raw = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    out = np.zeros(dim, dtype=np.int64)
+    np.add.at(out, np.arange(raw.size) % dim, raw)
+    return out.astype(np.float32)
 
 
 def _unsupported_decode(payload: bytes, dim: int = 16) -> np.ndarray:

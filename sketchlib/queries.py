@@ -23,15 +23,36 @@ from sketchlib.sketches.cm import CMConfig, CountMin
 from sketchlib.offline import build_offline
 
 
+# Executor-resident cache of deserialized broadcast sketches. Python
+# workers are reused across tasks (spark.python.worker.reuse default),
+# so keying on a per-probe uuid means each worker process pays the
+# blob->numpy deserialization once per query, not once per Arrow batch.
+_SKETCH_CACHE: dict[str, object] = {}
+_SKETCH_CACHE_MAX = 4
+
+
+def _cached_sketch(key: str, blob: bytes):
+    sk = _SKETCH_CACHE.get(key)
+    if sk is None:
+        sk = deserialize(blob)
+        if len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+            _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
+        _SKETCH_CACHE[key] = sk
+    return sk
+
+
 def _estimate_col(spark: SparkSession, sketch, keys: DataFrame,
                   key_hash_col: str, out_col: str = "est_count") -> DataFrame:
     """Annotate ``keys`` with sketch point estimates (broadcast probe)."""
+    import uuid
+
     blob = sketch.to_bytes()
     b = spark.sparkContext.broadcast(blob)
+    cache_key = uuid.uuid4().hex
 
     @F.pandas_udf("long")
     def est(v: pd.Series) -> pd.Series:
-        sk = deserialize(b.value)
+        sk = _cached_sketch(cache_key, b.value)
         vals = v.to_numpy()
         vals = vals.view(np.uint64) if vals.dtype == np.int64 else vals.astype(np.uint64)
         return pd.Series(sk.estimate(vals).astype(np.int64))
@@ -109,6 +130,11 @@ def approx_distinct(spark: SparkSession, df: DataFrame, key_col: str,
     return spark.createDataFrame([(est,)], f"{key_col}_distinct_est double")
 
 
+def hll_estimate(sk) -> float:
+    """Module-level (picklable) HLL finalize for ``finalize_grouped``."""
+    return float(sk.estimate())
+
+
 def bloom_membership(spark: SparkSession, build_df: DataFrame,
                      build_col: str, probe_df: DataFrame, probe_col: str,
                      p: int = 22, nh: int = 6) -> DataFrame:
@@ -118,10 +144,12 @@ def bloom_membership(spark: SparkSession, build_df: DataFrame,
     hashed = build_df.select(F.xxhash64(build_col).alias("kh")).distinct()
     bf = build_sketch(hashed, "kh", partial(BloomFilter, p, nh))
     b = spark.sparkContext.broadcast(bf.to_bytes())
+    import uuid
+    cache_key = uuid.uuid4().hex
 
     @F.pandas_udf("boolean")
     def member(v: pd.Series) -> pd.Series:
-        sk = deserialize(b.value)
+        sk = _cached_sketch(cache_key, b.value)
         vals = v.to_numpy()
         vals = vals.view(np.uint64) if vals.dtype == np.int64 else vals.astype(np.uint64)
         return pd.Series(sk.contains(vals))
@@ -133,7 +161,8 @@ def bloom_membership(spark: SparkSession, build_df: DataFrame,
 def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,
                      qs: list[float], kind: str = "kll",
                      k: int = 200, delta: float = 200.0,
-                     pre_aggregate: bool = False) -> DataFrame:
+                     pre_aggregate: bool = False,
+                     rank_mode: bool = False) -> DataFrame:
     """Quantiles of ``df[value_col]`` via KLL or t-digest, returned as
     (q, value) rows. Quantile spec (KLL): smallest inserted value whose
     weighted rank >= ceil(q * n).
@@ -141,14 +170,25 @@ def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,
     ``pre_aggregate`` (t-digest only): JVM groupBy(value).count()
     first, weighted centroid inserts after — the scale path for
     columns with heavy value repetition (|distinct| kernel work
-    instead of |rows|)."""
+    instead of |rows|).
+
+    ``delta=math.inf`` is the t-digest *exact regime*: no centroid ever
+    merges, so ``rank_quantile`` returns the classic rank quantile and
+    the operator is strict-equality oracle-checkable (same pattern as
+    KLL with capacity >= n). ``rank_mode`` forces rank-style quantiles
+    for t-digest regardless of delta."""
+    import math as _math
+
     from sketchlib.sketches.kll import KLL
     from sketchlib.sketches.tdigest import TDigest
     col = df.select(F.col(value_col).cast("double").alias("v"))
     if kind == "kll":
         sk = build_sketch(col, "v", partial(KLL, k), as_u64=False)
+        rows = [(float(q), float(sk.quantile(q))) for q in qs]
     else:
         sk = build_sketch(col, "v", partial(TDigest, delta), as_u64=False,
                           pre_aggregate=pre_aggregate)
-    rows = [(float(q), float(sk.quantile(q))) for q in qs]
+        rank = rank_mode or not _math.isfinite(delta)
+        rows = [(float(q), float(sk.rank_quantile(q) if rank
+                                 else sk.quantile(q))) for q in qs]
     return spark.createDataFrame(rows, "q double, value double")

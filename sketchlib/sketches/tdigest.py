@@ -31,6 +31,13 @@ def _compress(means: np.ndarray, weights: np.ndarray, delta: float):
     order = np.lexsort((weights, means))
     means = means[order]
     weights = weights[order]
+    if not math.isfinite(delta):
+        # exact regime (delta=inf): the k1 gap between any two adjacent
+        # centroids is infinite, so no pair ever merges — keep every
+        # point as its own centroid (sorted). This makes rank_quantile
+        # rank-exact and lets the DuckDB oracle gate the operator with
+        # strict equality instead of a rows-only check.
+        return means, weights
     total = float(weights.sum())
     out_m: list[float] = []
     out_w: list[float] = []
@@ -152,6 +159,21 @@ class TDigest:
 
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(float(q)) for q in qs])
+
+    def rank_quantile(self, q: float) -> float:
+        """Rank-style quantile: smallest centroid mean whose cumulative
+        weight reaches ``ceil(q * count)``. In the exact regime
+        (``delta=inf`` — every point its own centroid) this is exactly
+        the classic rank quantile over the inserted multiset, i.e. the
+        same definition KLL and the SQL oracle use; with finite delta
+        it is the approximate analog without interpolation."""
+        self._flush()
+        if self.means.size == 0:
+            return math.nan
+        target = math.ceil(q * self.count)
+        cum = np.cumsum(self.weights)
+        i = int(np.searchsorted(cum, max(target, 1)))
+        return float(self.means[min(i, self.means.size - 1)])
 
     def to_bytes(self) -> bytes:
         self._flush()
