@@ -236,32 +236,45 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     at 0.95 cosine the angular distance is ~18deg, so an 8-bit SRP
     signature agrees with probability (1 - 18/180)^8 ~= 0.43 per
     table; 8 tables give ~98.9% recall with no cross join.
-    """
-    from sketchlib.ann import _dot, _norm, srp_signatures
 
+    Scale shape of the LSH path: candidate IDS ONLY go through the
+    (tbl, sig) self-join and the pair dedup — the n_tables-replicated
+    vector payloads never cross that shuffle. Vectors (norms
+    precomputed once per vector) are equi-joined back to the
+    deduplicated candidates, and the cosine runs as one numpy einsum
+    per Arrow batch instead of interpreted Catalyst lambdas.
+    """
+    from sketchlib.ann import pair_cosine_udf, srp_signatures, with_norms
+
+    vecs = with_norms(emb.select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("v")), "v", "nv")
     if method == "lsh":
         sig = srp_signatures(emb, n_bits, seed, dim, id_col, vec_col,
                              n_tables)
         blocks = sig.select(F.col(id_col).alias("id"),
-                            F.col(vec_col).alias("v"),
                             F.posexplode("srp_sigs").alias("tbl", "sig"))
-        pairs = (blocks.alias("a")
-                 .join(blocks.alias("b"), ["tbl", "sig"])
-                 .filter(F.col("a.id") < F.col("b.id"))
-                 .select(F.col("a.id").alias("id_a"),
-                         F.col("a.v").alias("va"),
-                         F.col("b.id").alias("id_b"),
-                         F.col("b.v").alias("vb"))
-                 .dropDuplicates(["id_a", "id_b"]))
+        cand = (blocks.alias("a")
+                .join(blocks.alias("b"), ["tbl", "sig"])
+                .filter(F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+        pairs = (cand
+                 .join(vecs.select(F.col("id").alias("id_a"),
+                                   F.col("v").alias("va"),
+                                   F.col("nv").alias("na")), "id_a")
+                 .join(vecs.select(F.col("id").alias("id_b"),
+                                   F.col("v").alias("vb"),
+                                   F.col("nv").alias("nb")), "id_b"))
     else:
-        a = emb.select(F.col(id_col).alias("id_a"),
-                       F.col(vec_col).alias("va"))
-        b = emb.select(F.col(id_col).alias("id_b"),
-                       F.col(vec_col).alias("vb"))
-        pairs = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")))
+        a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("nv").alias("na"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("nv").alias("nb"))
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
 
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
-                                            * _norm(F.col("vb")))
+    sim = pair_cosine_udf()(F.col("va"), F.col("vb"),
+                            F.col("na"), F.col("nb"))
     # round (not floor): surviving pairs sit within ~1e-12 of exact
     # cosine values, and floor at the 1e-6 grid is discontinuous there
     return (pairs.withColumn("cos_sim", sim)
