@@ -164,6 +164,179 @@ def q_hll_distinct_per_lang(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_heavy_hitter_events_hk(spark, sf_dir):
+    """L11 HeavyKeeper proper: one-pass bounded-memory top-k — per
+    partition HK partials + local candidates, merged sketch ranks, one
+    exact recount of the k selected keys. Strict gate: output equals
+    the exact top-20 whenever HK's selection recall is 1.0. Posed over
+    ``floor(sqrt(event_id))`` — a skewed, tie-free count distribution
+    (key k occurs 2k+1 times) where top-k selection is well-defined;
+    the documents vocabulary (31 near-uniform tokens) has no
+    heavy-hitter structure to find. Zipf stress recall lives in
+    tests/test_heavykeeper.py."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(F.floor(F.sqrt("event_id")).cast("long")
+                      .cast("string").alias("hkey"))
+    return Q.heavy_hitters_hk(keyed, "hkey", 20, np_bits=12, nh=4)
+
+
+def q_cm_intersect_user_freq(spark, sf_dir):
+    """CM elementwise-min intersection (ccm.h:393-400 analog): events
+    split into even/odd halves, one CM each, intersected; at
+    collision-free width the probe equals least(cnt_even, cnt_odd)."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=False)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    return (Q.cm_intersect_frequency(spark, a, b, "user_id", cfg)
+            .orderBy("key"))
+
+
+def q_bloom_xor_custkeys(spark, sf_dir):
+    """Bloom XOR symmetric-difference membership (bf.h:540-549 analog):
+    emits the SQL-exact xor flag plus ``agree`` asserting the filter
+    reproduced it for every probe (bit-collision-free at this width)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000)
+    b = cust.filter(F.col("c_nationkey") < 12)
+    probe = (_t(spark, sf_dir, "orders").select("o_custkey").distinct()
+             .orderBy("o_custkey").limit(500))
+    mem = Q.bloom_xor_membership(spark, a, "c_custkey", b, "c_custkey",
+                                 probe, "o_custkey", p=26, nh=4, seed=1009)
+    in_a = a.select(F.col("c_custkey").alias("o_custkey"),
+                    F.lit(True).alias("in_a")).distinct()
+    in_b = b.select(F.col("c_custkey").alias("o_custkey"),
+                    F.lit(True).alias("in_b")).distinct()
+    return (mem.join(in_a, "o_custkey", "left")
+            .join(in_b, "o_custkey", "left")
+            .select("o_custkey",
+                    (F.coalesce("in_a", F.lit(False))
+                     != F.coalesce("in_b", F.lit(False))).alias("exact_xor"),
+                    "xor_member")
+            .withColumn("agree", F.col("exact_xor") == F.col("xor_member"))
+            .drop("xor_member")
+            .orderBy("o_custkey"))
+
+
+def _lang_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = D.normalized_tokens(docs.select("doc_id", "lang", "text"))
+    return (toks.join(docs.select("doc_id", "lang"), "doc_id")
+            .select("lang", "token", F.xxhash64("token").alias("kh")))
+
+
+def _pairwise_exact_sets(with_lang):
+    """(lang_a, lang_b, n_inter, n_union) exact, via DataFrame ops."""
+    tk = with_lang.select("lang", "token").distinct()
+    sizes = tk.groupBy("lang").agg(F.count("*").alias("n"))
+    a = tk.alias("a")
+    b = tk.alias("b")
+    inter = (a.join(b, "token")
+             .filter(F.col("a.lang") < F.col("b.lang"))
+             .groupBy(F.col("a.lang").alias("lang_a"),
+                      F.col("b.lang").alias("lang_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    # pair frame from the size table so zero-intersection pairs survive
+    pairs = (sa.crossJoin(sb)
+             .filter(F.col("lang_a") < F.col("lang_b")))
+    return (pairs.join(inter, ["lang_a", "lang_b"], "left")
+            .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+            .select("lang_a", "lang_b", "n_inter",
+                    (F.col("na") + F.col("nb") - F.col("n_inter"))
+                    .alias("n_union")))
+
+
+def q_hll_setops_langs(spark, sf_dir):
+    """HLL set algebra (hll.h:1124-1140 union, :636-689 joint MLE):
+    pairwise union/intersection estimates over per-language token HLLs,
+    gated by exact counts + 6-sigma-of-union bound flags."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.sketches.hll import HyperLogLog
+
+    with_lang = _lang_tokens(spark, sf_dir)
+    grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
+                                     _p(HyperLogLog, _HLL_P), salt_buckets=8)
+    # pairwise set ops need all group sketches together; lang count is
+    # tiny (5) so collecting the blobs is the right plan here — the
+    # per-group path stays distributed (q_hll_distinct_per_lang)
+    hlls = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
+    est_rows = []
+    for la in sorted(hlls):
+        for lb in sorted(hlls):
+            if la < lb:
+                u = hlls[la].union_size(hlls[lb])
+                i = hlls[la].intersection_size(hlls[lb])
+                est_rows.append((la, lb, float(u), float(i)))
+    est = spark.createDataFrame(
+        est_rows, "lang_a string, lang_b string, est_u double, est_i double")
+    exact = _pairwise_exact_sets(with_lang)
+    bound = F.lit(_HLL_BOUND) * F.col("n_union")
+    return (exact.join(est, ["lang_a", "lang_b"])
+            .select("lang_a", "lang_b", "n_union",
+                    (F.abs(F.col("est_u") - F.col("n_union")) <= bound)
+                    .alias("union_ok"),
+                    "n_inter",
+                    (F.abs(F.col("est_i") - F.col("n_inter")) <= bound)
+                    .alias("inter_ok"))
+            .orderBy("lang_a", "lang_b"))
+
+
+def q_minhash_jaccard_langs(spark, sf_dir):
+    """L14 MinHash bottom-k sketch class (mh.h:92-126): pairwise
+    Jaccard between per-language token sets, in the exact regime
+    (k >= |union| => the bottom-k holds every distinct hash and the
+    Jaccard estimator is exact)."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.sketches.mh import MinHashBottomK
+
+    with_lang = _lang_tokens(spark, sf_dir)
+    grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
+                                     _p(MinHashBottomK, 1 << 17),
+                                     salt_buckets=8)
+    import math
+
+    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
+    rows = []
+    for la in sorted(sks):
+        for lb in sorted(sks):
+            if la < lb:
+                j = sks[la].jaccard(sks[lb])
+                rows.append((la, lb, math.floor(j * 1e6) / 1e6))
+    return spark.createDataFrame(
+        rows, "lang_a string, lang_b string, jaccard double")
+
+
+def q_kll_quantiles_per_lang(spark, sf_dir):
+    """Grouped quantiles through the salted grouped-sketch path +
+    distributed finalize: one KLL per language over length(text), exact
+    regime (capacity >= group size)."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches, finalize_grouped
+    from sketchlib.sketches.kll import KLL
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select("lang", F.length("text").cast("double").alias("v"))
+    grouped = build_grouped_sketches(vals, ["lang"], "v",
+                                     _p(KLL, 1 << 15), as_u64=False,
+                                     salt_buckets=4)
+    est = finalize_grouped(grouped, _p(Q.quantiles_list, _QS),
+                           "qvals", "array<double>")
+    qarr = F.array(*[F.lit(float(q)) for q in _QS])
+    return (est.select("lang", F.posexplode("qvals").alias("i", "value"))
+            .select("lang",
+                    F.element_at(qarr, F.col("i") + 1).alias("q"), "value")
+            .orderBy("lang", "q"))
+
+
 def q_distinct_tokens_per_lang(spark, sf_dir):
     """exact grouped distinct (oracle for the HLL sibling)."""
     docs = _t(spark, sf_dir, "documents")
@@ -408,6 +581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occm_user_freq": q_occm_user_freq,
         "countsketch_event_freq": q_countsketch_event_freq,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "heavy_hitter_events_hk": q_heavy_hitter_events_hk,
+        "cm_intersect_user_freq": q_cm_intersect_user_freq,
+        "bloom_xor_custkeys": q_bloom_xor_custkeys,
+        "hll_setops_langs": q_hll_setops_langs,
+        "minhash_jaccard_langs": q_minhash_jaccard_langs,
+        "kll_quantiles_per_lang": q_kll_quantiles_per_lang,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "hll_distinct_per_lang": q_hll_distinct_per_lang,
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
@@ -581,6 +760,65 @@ FROM s GROUP BY kind ORDER BY kind"""
         "heavy_hitter_tokens": (
             f"SELECT token, COUNT(*) AS cnt FROM {_TOKENS_SQL} tk "
             "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"),
+        "heavy_hitter_events_hk": (
+            "SELECT CAST(CAST(floor(sqrt(event_id)) AS BIGINT) AS VARCHAR) "
+            "AS key, COUNT(*) AS cnt FROM events "
+            "GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 20"),
+        "cm_intersect_user_freq": """
+SELECT user_id AS key,
+       CAST(least(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END),
+                  sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END))
+            AS BIGINT) AS est_count
+FROM events GROUP BY 1 ORDER BY 1""",
+        "bloom_xor_custkeys": """
+SELECT o_custkey,
+       ((o_custkey IN (SELECT c_custkey FROM customer
+                       WHERE c_acctbal > 5000))
+        <> (o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_nationkey < 12))) AS exact_xor,
+       TRUE AS agree
+FROM (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 500)
+ORDER BY o_custkey""",
+        "hll_setops_langs": f"""
+WITH tk AS (SELECT DISTINCT d.lang, t.token
+            FROM {_TOKENS_SQL} t JOIN documents d USING (doc_id)),
+sizes AS (SELECT lang, COUNT(*) AS n FROM tk GROUP BY 1),
+inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+          FROM tk a JOIN tk b ON a.token = b.token AND a.lang < b.lang
+          GROUP BY 1, 2),
+pairs AS (SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+                 sa.n AS na, sb.n AS nb
+          FROM sizes sa, sizes sb WHERE sa.lang < sb.lang)
+SELECT p.lang_a, p.lang_b,
+       p.na + p.nb - COALESCE(i.n_inter, 0) AS n_union, TRUE AS union_ok,
+       COALESCE(i.n_inter, 0) AS n_inter, TRUE AS inter_ok
+FROM pairs p LEFT JOIN inter i USING (lang_a, lang_b)
+ORDER BY lang_a, lang_b""",
+        "minhash_jaccard_langs": f"""
+WITH tk AS (SELECT DISTINCT d.lang, t.token
+            FROM {_TOKENS_SQL} t JOIN documents d USING (doc_id)),
+sizes AS (SELECT lang, COUNT(*) AS n FROM tk GROUP BY 1),
+inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS i
+          FROM tk a JOIN tk b ON a.token = b.token AND a.lang < b.lang
+          GROUP BY 1, 2),
+pairs AS (SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+                 sa.n AS na, sb.n AS nb
+          FROM sizes sa, sizes sb WHERE sa.lang < sb.lang)
+SELECT p.lang_a, p.lang_b,
+       floor((COALESCE(i.i, 0) * 1.0
+              / (p.na + p.nb - COALESCE(i.i, 0))) * 1e6) / 1e6 AS jaccard
+FROM pairs p LEFT JOIN inter i USING (lang_a, lang_b)
+ORDER BY lang_a, lang_b""",
+        "kll_quantiles_per_lang": f"""
+WITH s AS (SELECT lang, CAST(length(text) AS DOUBLE) AS v,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY length(text)) AS rn,
+                  COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+qs AS (SELECT unnest([{', '.join(str(q) for q in _QS)}]) AS q)
+SELECT lang, q, v AS value FROM qs JOIN s
+  ON s.rn = CAST(ceil(q * s.n) AS BIGINT)
+ORDER BY lang, q""",
         "distinct_tokens_per_lang": (
             "SELECT d.lang, COUNT(DISTINCT tk.token) AS n_distinct "
             f"FROM {_TOKENS_SQL} tk JOIN documents d USING (doc_id) "

@@ -67,7 +67,10 @@ def main() -> int:
     qs = E.queries()
     for name in ["cm_event_type_freq", "cm_conservative_user_freq",
                  "occm_user_freq", "heavy_hitter_tokens",
-                 "hll_distinct_tokens", "kll_quantiles_price",
+                 "heavy_hitter_events_hk", "cm_intersect_user_freq",
+                 "hll_distinct_tokens", "hll_setops_langs",
+                 "minhash_jaccard_langs", "bloom_xor_custkeys",
+                 "kll_quantiles_price", "kll_quantiles_per_lang",
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
                  "dedup_embedding_lsh", "simhash_fingerprints",
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",

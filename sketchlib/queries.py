@@ -135,6 +135,13 @@ def hll_estimate(sk) -> float:
     return float(sk.estimate())
 
 
+def quantiles_list(qs: list[float], sk) -> list[float]:
+    """Picklable grouped-quantile finalize: ``partial(quantiles_list,
+    qs)`` turns a grouped KLL/t-digest blob column into per-group
+    quantile arrays inside ``finalize_grouped`` (distributed)."""
+    return [float(sk.quantile(float(q))) for q in qs]
+
+
 def bloom_membership(spark: SparkSession, build_df: DataFrame,
                      build_col: str, probe_df: DataFrame, probe_col: str,
                      p: int = 22, nh: int = 6) -> DataFrame:
@@ -156,6 +163,125 @@ def bloom_membership(spark: SparkSession, build_df: DataFrame,
 
     return probe_df.withColumn("maybe_member",
                                member(F.xxhash64(probe_col)))
+
+
+def cm_intersect_frequency(spark: SparkSession, df_a: DataFrame,
+                           df_b: DataFrame, key_col: str,
+                           cfg: CMConfig) -> DataFrame:
+    """Sketch-level set intersection (reference include/ccm.h:393-400):
+    build one CM per input, elementwise-min them, probe the union of
+    distinct keys. At collision-free width the estimate equals
+    ``least(count_A(k), count_B(k))`` exactly — the strict oracle."""
+    ha = df_a.select(F.col(key_col).alias("key"),
+                     F.xxhash64(key_col).alias("kh"))
+    hb = df_b.select(F.col(key_col).alias("key"),
+                     F.xxhash64(key_col).alias("kh"))
+    ska = build_sketch(ha, "kh", partial(CountMin, cfg), pre_aggregate=True)
+    skb = build_sketch(hb, "kh", partial(CountMin, cfg), pre_aggregate=True)
+    inter = ska.intersect(skb)
+    keys = ha.unionByName(hb).distinct()
+    return _estimate_col(spark, inter, keys, "kh").select("key", "est_count")
+
+
+def bloom_xor_membership(spark: SparkSession, df_a: DataFrame, col_a: str,
+                         df_b: DataFrame, col_b: str, probe_df: DataFrame,
+                         probe_col: str, p: int = 26,
+                         nh: int = 4, seed: int = 137) -> DataFrame:
+    """Symmetric-difference membership via Bloom XOR (reference
+    include/bf.h:540-549): probe rows annotated ``xor_member`` — true
+    when the key's bits survive in A ^ B, i.e. the key was inserted on
+    exactly one side (up to bit-collision noise; size the filter so the
+    probed keys are collision-free — error decays as 2^-p)."""
+    from sketchlib.sketches.bloom import BloomFilter
+
+    fa = build_sketch(df_a.select(F.xxhash64(col_a).alias("kh")).distinct(),
+                      "kh", partial(BloomFilter, p, nh, seed))
+    fb = build_sketch(df_b.select(F.xxhash64(col_b).alias("kh")).distinct(),
+                      "kh", partial(BloomFilter, p, nh, seed))
+    xf = fa.xor(fb)
+    b = spark.sparkContext.broadcast(xf.to_bytes())
+    import uuid
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf("boolean")
+    def member(v: pd.Series) -> pd.Series:
+        sk = _cached_sketch(cache_key, b.value)
+        vals = v.to_numpy()
+        vals = vals.view(np.uint64) if vals.dtype == np.int64 \
+            else vals.astype(np.uint64)
+        return pd.Series(sk.contains(vals))
+
+    return probe_df.withColumn("xor_member",
+                               member(F.xxhash64(probe_col)))
+
+
+def heavy_hitters_hk(df: DataFrame, key_col: str, k: int,
+                     np_bits: int = 12, nh: int = 4, seed: int = 137,
+                     cand_per_part: int | None = None) -> DataFrame:
+    """One-pass bounded-memory heavy hitters via HeavyKeeper
+    (reference include/hk.h; SURVEY.md L11) for the regime where even
+    the |distinct|-row exact aggregate is infeasible.
+
+    Plan shape: each partition locally pre-aggregates its keys in
+    numpy, updates a HeavyKeeper partial AND emits its top-m local
+    candidates — so the only shuffle is O(partitions) sketch blobs +
+    O(partitions * m) candidate rows, never |distinct| rows. The merged
+    sketch ranks the candidate union; the selected top-k get ONE exact
+    recount pass (hash-agg over a broadcast-filtered scan). Output
+    (key, cnt) with exact counts — identical to the exact top-k
+    whenever HeavyKeeper's selection recall is 1.0 (property-tested on
+    Zipf; strict-oracle-gated in the driver contract)."""
+    from sketchlib.sketches.hk import HeavyKeeper
+
+    m = cand_per_part or 4 * k
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+
+    def partial_build(batches):
+        frames = []
+        for pdf in batches:
+            if len(pdf):
+                frames.append(pdf)
+        if not frames:
+            return
+        allp = pd.concat(frames, ignore_index=True)
+        counts = allp.groupby("kh", sort=False).agg(
+            key=("key", "first"), cnt=("kh", "size")).reset_index()
+        kh = counts["kh"].to_numpy().view(np.uint64)
+        w = counts["cnt"].to_numpy()
+        hk = HeavyKeeper(np_bits, nh, seed)
+        hk.update_weighted(kh, w)
+        top = counts.nlargest(m, "cnt")
+        # nullable Int64 for kh: a plain int column with a None in it
+        # would silently coerce to float64 and corrupt 64-bit hashes
+        out = pd.DataFrame({
+            "sketch": pd.array([hk.to_bytes()] + [None] * len(top),
+                               dtype=object),
+            "key": pd.array([None] + list(top["key"]), dtype=object),
+            "kh": pd.array([None] + list(top["kh"]), dtype="Int64"),
+        })
+        yield out
+
+    parts = hashed.mapInPandas(
+        partial_build, schema="sketch binary, key string, kh long")
+    parts = parts.persist()
+    blobs = parts.filter(F.col("sketch").isNotNull()).select("sketch")
+    merged = None
+    for b in blobs.toPandas()["sketch"]:
+        sk = deserialize(bytes(b))
+        merged = sk if merged is None else merged.merge(sk)
+    if merged is None:
+        merged = HeavyKeeper(np_bits, nh, seed)
+    cands = (parts.filter(F.col("key").isNotNull())
+             .select("key", "kh").distinct())
+    ranked = _estimate_col(df.sparkSession, merged, cands, "kh",
+                           out_col="hk_est")
+    topk = (ranked.orderBy(F.col("hk_est").desc(), F.col("key").asc())
+            .limit(k).select("key"))
+    # exact recount restricted to the k selected keys (broadcast join)
+    return (hashed.join(F.broadcast(topk), "key")
+            .groupBy("key").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("key").asc()))
 
 
 def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,

@@ -37,3 +37,13 @@ try:
     register(PCSA)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.mh import MinHashBottomK
+    register(MinHashBottomK)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.hk import HeavyKeeper
+    register(HeavyKeeper)
+except ImportError:
+    pass

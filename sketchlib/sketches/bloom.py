@@ -67,6 +67,17 @@ class BloomFilter:
         return BloomFilter(self.p, self.nh, self.seed,
                            np.bitwise_and(self.words, other.words))
 
+    def xor(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise-XOR filter (reference include/bf.h:540-549 ``^``):
+        approximates symmetric-difference membership — a key inserted in
+        exactly one side keeps its bits, a key in both cancels out.
+        Approximate in BOTH directions: unrelated keys sharing a bit can
+        clear it (false negative) as well as set it (false positive);
+        error vanishes as fill factor drops, so size generously."""
+        assert (self.p, self.nh, self.seed) == (other.p, other.nh, other.seed)
+        return BloomFilter(self.p, self.nh, self.seed,
+                           np.bitwise_xor(self.words, other.words))
+
     def popcount(self) -> int:
         return int(np.unpackbits(self.words.view(np.uint8)).sum())
 
@@ -82,12 +93,35 @@ class BloomFilter:
         return (1.0 - math.exp(-self.nh * n_inserted / self.m)) ** self.nh
 
     def to_bytes(self) -> bytes:
+        """Blob v2: sparse (word_index, word) pairs when <1/6 of the
+        64-bit words are nonzero, else dense. Partial blobs from
+        under-filled partitions (the common case for membership sets
+        far smaller than the bit table) shrink from 2^p/8 bytes to
+        ~12 bytes per set bit, which keeps wide filters (p=28 => 32 MB
+        dense) cheap to shuffle and fold."""
+        nz = np.flatnonzero(self.words)
+        if nz.size * 6 < self.words.size:
+            return (self.MAGIC
+                    + struct.pack("<BIIQQ", 2, self.p, self.nh, self.seed,
+                                  nz.size)
+                    + nz.astype("<u4").tobytes()
+                    + self.words[nz].astype("<u8").tobytes())
         return (self.MAGIC + struct.pack("<BIIQ", 1, self.p, self.nh, self.seed)
                 + self.words.tobytes())
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomFilter":
         assert data[:4] == cls.MAGIC
+        ver = data[4]
+        if ver == 2:
+            _, p, nh, seed, n = struct.unpack_from("<BIIQQ", data, 4)
+            off = 4 + struct.calcsize("<BIIQQ")
+            idx = np.frombuffer(data, dtype="<u4", offset=off, count=n)
+            vals = np.frombuffer(data, dtype="<u8", offset=off + 4 * n,
+                                 count=n)
+            words = np.zeros((1 << p) >> 6, dtype=_U64)
+            words[idx] = vals
+            return cls(p, nh, seed, words)
         _, p, nh, seed = struct.unpack_from("<BIIQ", data, 4)
         off = 4 + struct.calcsize("<BIIQ")
         words = np.frombuffer(data, dtype=_U64, offset=off,

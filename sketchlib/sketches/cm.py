@@ -252,6 +252,15 @@ class CountMin:
         self.core += other.core
         return self
 
+    def intersect(self, other: "CountMin") -> "CountMin":
+        """Elementwise-min intersection (reference include/ccm.h:393-400
+        ``&=``): estimates on the result upper-bound the multiset
+        intersection ``min(count_A(k), count_B(k))`` per key, and equal
+        it exactly when both sketches are collision-free. Returns a new
+        sketch; neither input is mutated."""
+        assert self.config == other.config
+        return CountMin(self.config, np.minimum(self.core, other.core))
+
     # ---------------------------------------------------------- serialize
     def to_bytes(self) -> bytes:
         """Internal versioned blob (shipped between executors/driver);

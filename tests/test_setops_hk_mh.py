@@ -1,0 +1,150 @@
+"""Sketch set algebra (HLL union/intersection, CM min-intersect, Bloom
+XOR), MinHash bottom-k, and HeavyKeeper recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sketchlib.sketches.base import deserialize
+from sketchlib.sketches.bloom import BloomFilter
+from sketchlib.sketches.cm import CMConfig, CountMin
+from sketchlib.sketches.hk import HeavyKeeper
+from sketchlib.sketches.hll import HyperLogLog
+from sketchlib.sketches.mh import MinHashBottomK
+
+RNG = np.random.default_rng(7)
+
+
+def _sets(n_a, n_b, n_i):
+    a_only = RNG.integers(0, 1 << 62, n_a - n_i, dtype=np.uint64)
+    b_only = RNG.integers(0, 1 << 62, n_b - n_i, dtype=np.uint64) + (1 << 62)
+    both = RNG.integers(0, 1 << 62, n_i, dtype=np.uint64) + (2 << 62)
+    return (np.concatenate([a_only, both]), np.concatenate([b_only, both]),
+            a_only, b_only, both)
+
+
+def test_hll_union_and_joint_mle_within_bounds():
+    va, vb, *_ = _sets(60_000, 40_000, 20_000)
+    A = HyperLogLog(14)
+    A.update(va)
+    B = HyperLogLog(14)
+    B.update(vb)
+    true_u = 80_000
+    true_i = 20_000
+    bound = 6 * A.relative_error
+    assert abs(A.union_size(B) - true_u) <= bound * true_u
+    oa, ob, inter = A.joint_estimates(B)
+    assert abs(inter - true_i) <= bound * true_u
+    assert abs(oa - 40_000) <= bound * true_u
+    assert abs(ob - 20_000) <= bound * true_u
+    # symmetric and non-mutating
+    assert A.intersection_size(B) == pytest.approx(B.intersection_size(A),
+                                                   rel=1e-9)
+
+
+def test_cm_intersect_exact_at_collision_free_width():
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=False)
+    keys = np.arange(200, dtype=np.uint64)
+    cnt_a = RNG.integers(1, 50, keys.size)
+    cnt_b = RNG.integers(1, 50, keys.size)
+    A = CountMin(cfg)
+    A.update_weighted(keys, cnt_a)
+    B = CountMin(cfg)
+    B.update_weighted(keys[::2], cnt_b[::2])  # B misses odd keys
+    inter = A.intersect(B)
+    expect = np.where(np.arange(200) % 2 == 0,
+                      np.minimum(cnt_a, cnt_b), 0)
+    assert (inter.estimate(keys) == expect).all()
+    # inputs not mutated
+    assert (A.estimate(keys) == cnt_a).all()
+
+
+def test_bloom_xor_and_sparse_roundtrip():
+    a_keys = RNG.integers(0, 1 << 63, 500, dtype=np.uint64)
+    b_keys = np.concatenate([a_keys[:200],  # shared
+                             RNG.integers(0, 1 << 63, 300,
+                                          dtype=np.uint64) + (1 << 63)])
+    A = BloomFilter(22, 4, 1009)
+    A.update(a_keys)
+    B = BloomFilter(22, 4, 1009)
+    B.update(b_keys)
+    X = A.xor(B)
+    # shared keys cancel; one-sided keys survive (collision-free here)
+    assert not X.contains(a_keys[:200]).any()
+    assert X.contains(a_keys[200:]).all()
+    assert X.contains(b_keys[200:]).all()
+    # sparse blob v2 roundtrip is lossless and far smaller than dense
+    blob = A.to_bytes()
+    assert len(blob) < (1 << 22) // 8 // 2
+    back = deserialize(blob)
+    assert (back.words == A.words).all()
+
+
+def test_minhash_bottomk_merge_algebra_and_exact_regime():
+    va, vb, a_only, b_only, both = _sets(3000, 2000, 1000)
+    k = 8192  # >= |union| => exact regime
+    A = MinHashBottomK(k)
+    A.update(va)
+    B = MinHashBottomK(k)
+    B.update(vb)
+    true_j = 1000 / 4000
+    assert A.jaccard(B) == pytest.approx(true_j, abs=1e-12)
+    assert A.cardinality() == 3000.0  # exact below k
+    # merge algebra: commutative + duplicate-insensitive, bit-exact
+    m1 = deserialize(A.to_bytes()).merge(deserialize(B.to_bytes()))
+    m2 = deserialize(B.to_bytes()).merge(deserialize(A.to_bytes()))
+    assert (m1.values == m2.values).all()
+    assert m1.cardinality() == 4000.0
+
+
+def test_minhash_bottomk_estimators_in_sketch_regime():
+    n = 200_000
+    vals = RNG.integers(0, 1 << 63, n, dtype=np.uint64)
+    sk = MinHashBottomK(1024)
+    sk.update(vals)
+    # bottom-k cardinality rse ~ 1/sqrt(k) => 6 sigma ~ 19%
+    assert abs(sk.cardinality() - n) <= 6 / np.sqrt(1024) * n
+    # jaccard of two half-overlapping sets
+    A = MinHashBottomK(1024)
+    A.update(vals[:150_000])
+    B = MinHashBottomK(1024)
+    B.update(vals[50_000:])
+    jac = A.jaccard(B)
+    # true jaccard ~ 100k/200k = 0.5 (values distinct whp)
+    assert abs(jac - 0.5) <= 0.1
+
+
+def test_heavykeeper_zipf_topk_recall():
+    # Zipf(1.3) over 50k keys, 500k samples: top-20 must be recovered
+    n_keys, n = 50_000, 500_000
+    ranks = np.arange(1, n_keys + 1)
+    probs = 1.0 / ranks ** 1.3
+    probs /= probs.sum()
+    sample = RNG.choice(n_keys, size=n, p=probs).astype(np.uint64)
+    exact_keys, exact_counts = np.unique(sample, return_counts=True)
+    top20 = exact_keys[np.argsort(exact_counts)[::-1][:20]]
+
+    # distributed: 8 partitions, merged
+    merged = None
+    for part in np.array_split(sample, 8):
+        hk = HeavyKeeper(12, 4, 137)
+        hk.update(part)
+        merged = hk if merged is None else merged.merge(hk)
+    est = merged.estimate(exact_keys)
+    sel = exact_keys[np.argsort(est)[::-1][:20]]
+    assert set(top20.tolist()) <= set(sel.tolist())
+    # estimates of the true top-20 are within 5% (heavy cells stable)
+    top_mask = np.isin(exact_keys, top20)
+    rel = np.abs(est[top_mask].astype(float)
+                 - exact_counts[top_mask]) / exact_counts[top_mask]
+    assert rel.max() <= 0.05
+
+
+def test_heavykeeper_blob_roundtrip():
+    hk = HeavyKeeper(8, 3, 42)
+    hk.update(RNG.integers(0, 1 << 60, 10_000, dtype=np.uint64))
+    back = deserialize(hk.to_bytes())
+    assert (back.fps == hk.fps).all()
+    assert (back.cnts == hk.cnts).all()
+    assert back.decay_b == hk.decay_b
