@@ -6,8 +6,14 @@ DataFrame job instead of a driver-side pandas pass:
   when truth is the inserted multiset — SURVEY.md §5.2);
 - RMSE of (est - true);
 - Spearman rank correlation: Pearson correlation of the two rank
-  columns (average-rank ties), computed with window ranks + ``corr``
-  so no row ever leaves the executors.
+  columns (average-rank ties), computed with window ranks + ``corr``.
+
+Scale note: the global ``Window.orderBy`` rank stage funnels the whole
+RESULT table through one task (Spark's documented behavior for an
+unpartitioned window). That is acceptable here by design — the input
+is a query-result table (thousands to millions of rows), not the raw
+corpus; for corpus-sized rank correlation, replace the window rank
+with a sort + ``zipWithIndex``-style distributed ranking.
 """
 
 from __future__ import annotations

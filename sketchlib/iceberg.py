@@ -15,8 +15,11 @@ Layout:
       snap-<id>.json         # manifest: list of data files + row counts
       data/<uuid>.parquet    # immutable data files
 
-Commits are atomic via write-temp + ``os.replace`` of catalog.json —
-the same single-pointer-swap guarantee Iceberg's catalog provides.
+Commits take an exclusive file lock around the read-modify-write of
+catalog.json (the local-FS stand-in for Iceberg's compare-and-swap on
+the expected current snapshot) and publish via write-temp +
+``os.replace``, so concurrent committers serialize instead of losing
+updates.
 """
 
 from __future__ import annotations
@@ -68,22 +71,32 @@ class IcebergishCatalog:
         df.write.mode("overwrite").parquet(file_dir)
         n_rows = df.sparkSession.read.parquet(file_dir).count()
 
-        cat = self._read_catalog(table)
-        prev_files: list = []
-        if operation == "append" and cat["current"] is not None:
-            prev_files = self._read_snapshot(table, cat["current"])["files"]
-        snap_id = f"{len(cat['log']):06d}-{uuid.uuid4().hex[:8]}"
-        snap = {
-            "snapshot_id": snap_id,
-            "parent": cat["current"],
-            "operation": operation,
-            "files": prev_files + [{"path": file_dir, "rows": n_rows}],
-        }
-        with open(os.path.join(tdir, f"snap-{snap_id}.json"), "w") as fh:
-            json.dump(snap, fh, indent=1)
-        cat["log"].append(snap_id)
-        cat["current"] = snap_id
-        self._write_catalog(table, cat)
+        # Commit under an exclusive file lock: Iceberg's catalog commit
+        # is compare-and-swap on the expected current snapshot; without
+        # the lock two concurrent committers would both read the same
+        # 'current' and the second os.replace would silently drop the
+        # first commit from the log (lost update).
+        import fcntl
+        lock_path = os.path.join(tdir, ".catalog.lock")
+        with open(lock_path, "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            cat = self._read_catalog(table)
+            prev_files: list = []
+            if operation == "append" and cat["current"] is not None:
+                prev_files = self._read_snapshot(table,
+                                                 cat["current"])["files"]
+            snap_id = f"{len(cat['log']):06d}-{uuid.uuid4().hex[:8]}"
+            snap = {
+                "snapshot_id": snap_id,
+                "parent": cat["current"],
+                "operation": operation,
+                "files": prev_files + [{"path": file_dir, "rows": n_rows}],
+            }
+            with open(os.path.join(tdir, f"snap-{snap_id}.json"), "w") as fh:
+                json.dump(snap, fh, indent=1)
+            cat["log"].append(snap_id)
+            cat["current"] = snap_id
+            self._write_catalog(table, cat)
         return snap_id
 
     def overwrite(self, table: str, df: DataFrame) -> str:

@@ -10,10 +10,14 @@ per-row estimates (ccm.h:527-540); merge is elementwise SUM
 deletions (negative weights), at the cost of two-sided error
 |err| <= ||f||_2 / sqrt(w) per row w.h.p.
 
-Same hash family as our CM (WangHash over mt19937_64-derived seeds,
-reference include/hash.h:34-55) so the row-position machinery is
-shared; the sign is taken from a high hash bit that the position
-mask never consumes.
+Only the ALGORITHMIC semantics (signed cells, median estimator, sum
+merge) follow ccm.h; the hash construction deliberately reuses the
+internal CM family (WangHash over mt19937_64(seed+4) seeds, sign from
+bit 63) instead of the reference's distinct scheme (sign from bit np_,
+mt19937(np+nh+seedseed) seeds, unseeded row 0). Blobs are therefore
+NOT interchangeable with reference-built count-sketches — there is no
+reference interop path for count-sketch, so nothing depends on it, but
+don't attempt one without reworking the hashing.
 """
 
 from __future__ import annotations

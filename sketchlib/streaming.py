@@ -134,8 +134,11 @@ def stateful_sketch_stream(stream_df: DataFrame, key_col: str,
 
     out_schema = "key string, n_seen long, blob binary"
     state_schema = "n long, blob binary"
+    # CAST: the output schema declares key as string; a non-string key
+    # column (e.g. bigint user_id) would otherwise type-mismatch inside
+    # applyInPandasWithState at runtime
     return (stream_df
-            .selectExpr(f"{key_col} AS key",
+            .selectExpr(f"CAST({key_col} AS STRING) AS key",
                         f"xxhash64({value_col}) AS vh")
             .groupBy("key")
             .applyInPandasWithState(update, out_schema, state_schema,

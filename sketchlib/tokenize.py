@@ -58,18 +58,24 @@ def transcript_tokens(df: DataFrame,
     and Catalyst computes the concat, don't and it's pruned."""
     st = lambda k, v: F.struct(F.lit(k).cast("int").alias("kind"),  # noqa: E731
                                v.alias("val"))
+    empty = F.array().cast("array<struct<kind:int,val:string>>")
     per_turn = []
     if words:
-        per_turn.append(
+        # coalesce: a NULL text must yield an empty word array, not a
+        # NULL one — F.concat is null-intolerant, so a NULL element
+        # would nullify the whole per-turn token array and silently
+        # drop the turn's tool/role tokens too
+        per_turn.append(F.coalesce(
             F.transform(
                 F.filter(F.split(F.lower(F.col("text")), WORD_SPLIT),
                          lambda x: x != ""),
-                lambda x: st(0, x)))
+                lambda x: st(0, x)),
+            empty))
     if tools:
         per_turn.append(
             F.when(F.col("tool").isNotNull(),
                    F.array(st(1, F.col("tool"))))
-             .otherwise(F.array().cast("array<struct<kind:int,val:string>>")))
+             .otherwise(empty))
     if roles:
         per_turn.append(F.array(st(2, F.col("role"))))
     tokens = per_turn[0] if len(per_turn) == 1 else F.concat(*per_turn)

@@ -121,3 +121,22 @@ def test_merge_commutativity_random_orders(tokens):
     for _ in range(5):
         order = rng.permutation(6)
         np.testing.assert_array_equal(base, merge_order(order))
+
+
+def test_null_text_turn_keeps_tool_and_role_tokens(spark):
+    """A tool-call turn with NULL text must still emit its tool and
+    role tokens: F.concat is null-intolerant, so an uncoalesced NULL
+    word array would silently drop the whole row (ADVICE round 1)."""
+    rows = [
+        ("c0", 0, "user", "hello world", None, "2026-01-01 00:00:00"),
+        ("c0", 1, "assistant", None, "bash", "2026-01-01 00:00:01"),
+        ("c0", 2, "tool", None, None, "2026-01-01 00:00:02"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    toks = transcript_tokens(df).toPandas()
+    # words from turn 0; tool + role tokens survive text=NULL turns
+    got = sorted(toks["token"])
+    assert got == sorted(["w:hello", "w:world", "r:user",
+                          "t:bash", "r:assistant", "r:tool"])
