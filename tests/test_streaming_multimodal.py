@@ -127,3 +127,56 @@ def test_stateful_sketch_stream_applyinpandaswithstate(spark, tmp_path):
         est = deserialize(bytes(r.blob)).estimate()
         # p=14 HLL: ~0.8% expected rel. error; allow 5%
         assert abs(est - n_distinct) <= max(3, 0.05 * n_distinct)
+
+
+def test_stateful_stream_checkpoint_recovery_bitexact(spark, tmp_path):
+    """Kill/restart recovery: run the stateful sketch stream over phase
+    1, stop, add phase-2 files, RESTART from the same checkpoint, and
+    assert the recovered per-key sketches are bit-identical to an
+    uninterrupted run over all the data (HLL registers are
+    order-independent max-merges, so equality is exact). The memory
+    sink can't recover from a checkpoint, so output is captured via
+    foreachBatch (which can)."""
+    from sketchlib.sketches.base import deserialize
+    from sketchlib.sketches.hll import HyperLogLog
+    from sketchlib.streaming import stateful_sketch_stream
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(6000)
+    src = str(tmp_path / "rec_src")
+    p1 = ev.filter(F.col("event_id") % 2 == 0)
+    p2 = ev.filter(F.col("event_id") % 2 == 1)
+    p1.repartition(2).write.mode("append").parquet(src)
+
+    def run(ckpt, capture):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = stateful_sketch_stream(stream, "event_type", "user_id",
+                                     lambda: HyperLogLog(12))
+
+        def sink(df, epoch_id):
+            for r in df.collect():   # tiny: one row per touched key
+                capture[r.key] = (r.n_seen, bytes(r.blob))
+
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    ckpt = str(tmp_path / "rec_ckpt")
+    final: dict = {}
+    run(ckpt, final)                                # phase 1
+    p2.repartition(3).write.mode("append").parquet(src)
+    run(ckpt, final)                                # restart, phase 2 only
+
+    full: dict = {}
+    run(str(tmp_path / "rec_ckpt2"), full)          # uninterrupted oracle
+
+    assert set(final) == set(full) and final
+    n_phase1 = p1.count()
+    assert sum(n for n, _ in final.values()) == ev.count()
+    assert sum(n for n, _ in final.values()) > n_phase1  # state restored
+    for k, (n_seen, blob) in final.items():
+        a = deserialize(blob)
+        b = deserialize(full[k][1])
+        assert (a.registers == b.registers).all()
+        assert n_seen == full[k][0]
