@@ -180,6 +180,24 @@ def q_heavy_hitter_events_hk(spark, sf_dir):
     return Q.heavy_hitters_hk(keyed, "hkey", 20, np_bits=12, nh=4)
 
 
+def q_cbf_user_freq(spark, sf_dir):
+    """L9 Counting Bloom (cbf.h cascade): power-of-two multiplicity
+    per user; exact 2^floor(log2(cnt)) through the pre-aggregate path
+    at collision-free width => strict oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.cbf_point_frequency(spark, ev, "user_id")
+            .orderBy("key"))
+
+
+def q_cml_user_freq(spark, sf_dir):
+    """L6 count-min-log (update.h power-of-two log counters): 8-bit
+    cells, power-of-two multiplicity; strict oracle via the
+    pre-aggregate exact regime."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.cml_point_frequency(spark, ev, "user_id")
+            .orderBy("key"))
+
+
 def q_cm_intersect_user_freq(spark, sf_dir):
     """CM elementwise-min intersection (ccm.h:393-400 analog): events
     split into even/odd halves, one CM each, intersected; at
@@ -582,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_event_freq": q_countsketch_event_freq,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "heavy_hitter_events_hk": q_heavy_hitter_events_hk,
+        "cbf_user_freq": q_cbf_user_freq,
+        "cml_user_freq": q_cml_user_freq,
         "cm_intersect_user_freq": q_cm_intersect_user_freq,
         "bloom_xor_custkeys": q_bloom_xor_custkeys,
         "hll_setops_langs": q_hll_setops_langs,
@@ -764,6 +784,14 @@ FROM s GROUP BY kind ORDER BY kind"""
             "SELECT CAST(CAST(floor(sqrt(event_id)) AS BIGINT) AS VARCHAR) "
             "AS key, COUNT(*) AS cnt FROM events "
             "GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 20"),
+        "cbf_user_freq": (
+            "SELECT user_id AS key, CAST(power(2, CAST(floor(log2(COUNT(*)))"
+            " AS INT)) AS BIGINT) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "cml_user_freq": (
+            "SELECT user_id AS key, CAST(power(2, CAST(floor(log2(COUNT(*)))"
+            " AS INT)) AS BIGINT) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
         "cm_intersect_user_freq": """
 SELECT user_id AS key,
        CAST(least(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END),

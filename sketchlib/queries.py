@@ -215,6 +215,43 @@ def bloom_xor_membership(spark: SparkSession, df_a: DataFrame, col_a: str,
                                member(F.xxhash64(probe_col)))
 
 
+def cbf_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
+                        p: int = 18, nh: int = 4, n_layers: int = 24,
+                        seed: int = 137) -> DataFrame:
+    """Counting-Bloom multiplicity (reference include/cbf.h): distinct
+    keys annotated with the power-of-two count estimate. Built through
+    the pre-aggregate path, the estimate is exactly
+    ``2^floor(log2(count))`` (collision-free widths), so the SQL
+    oracle is strict."""
+    from sketchlib.sketches.cbf import CountingBloom
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(CountingBloom, p, nh, n_layers, seed),
+                      pre_aggregate=True)
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
+def cml_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
+                        np_bits: int = 16, nh: int = 5,
+                        seed: int = 137) -> DataFrame:
+    """Count-min-log multiplicity (reference include/update.h:35-83):
+    8-bit log-counter CM — 8x the memory efficiency of exact counters
+    at power-of-two resolution. Exactly 2^floor(log2(count)) through
+    the pre-aggregate path at collision-free width => strict oracle."""
+    from sketchlib.sketches.cml import CountMinLog
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(CountMinLog, np_bits, nh, seed),
+                      pre_aggregate=True)
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
 def heavy_hitters_hk(df: DataFrame, key_col: str, k: int,
                      np_bits: int = 12, nh: int = 4, seed: int = 137,
                      cand_per_part: int | None = None) -> DataFrame:

@@ -47,3 +47,13 @@ try:
     register(HeavyKeeper)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.cbf import CountingBloom
+    register(CountingBloom)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.cml import CountMinLog
+    register(CountMinLog)
+except ImportError:
+    pass

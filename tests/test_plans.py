@@ -61,3 +61,32 @@ def test_heavy_hitters_uses_bounded_heap_not_full_sort(spark):
     assert "TakeOrderedAndProject" in plan   # per-partition heap + k-merge
     assert "partial_count" in plan           # map-side combine
     assert "Sort " not in plan               # never a full sort
+
+
+def test_embedding_lsh_candidates_carry_ids_only(spark):
+    """The SRP bucket self-join and pair dedup must not carry vector
+    payloads — only ids cross that shuffle (round-2 plan fix)."""
+    from sketchlib import dedup as D
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = D.embedding_near_dup_pairs(
+        emb.select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")), 0.99, method="lsh")
+    plan = _plan(df)
+    # the dedup of candidate pairs aggregates on exactly (id_a, id_b):
+    # a payload-carrying dedup would list va/vb in its aggregate keys
+    import re
+    m = re.search(r"Keys \[\d+\]: \[([^\]]*id_a[^\]]*)\]", plan)
+    assert m, plan[:800]
+    assert "va" not in m.group(1) and "vb" not in m.group(1)
+
+
+def test_hk_recount_broadcasts_topk(spark):
+    """heavy_hitters_hk's exact recount joins the scan against the
+    k selected keys via broadcast, never a shuffle join."""
+    from sketchlib import queries as Q
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    keyed = ev.select(F.floor(F.sqrt("event_id")).cast("long")
+                      .cast("string").alias("hkey"))
+    plan = _plan(Q.heavy_hitters_hk(keyed, "hkey", 5, np_bits=8, nh=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

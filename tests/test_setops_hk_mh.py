@@ -148,3 +148,40 @@ def test_heavykeeper_blob_roundtrip():
     assert (back.fps == hk.fps).all()
     assert (back.cnts == hk.cnts).all()
     assert back.decay_b == hk.decay_b
+
+
+def test_counting_bloom_power_of_two_estimates_and_merge():
+    from sketchlib.sketches.cbf import CountingBloom
+
+    keys = np.arange(100, dtype=np.uint64)
+    counts = np.array([1, 2, 3, 7, 8, 9, 100, 1000] * 12 + [5] * 4)
+    cb = CountingBloom(16, 4, 16, 137)
+    cb.update_weighted(keys, counts)
+    est = cb.estimate(keys)
+    expect = 2 ** np.floor(np.log2(counts)).astype(np.int64)
+    assert (est == expect).all()
+    assert (cb.estimate(keys + 10_000) == 0).all()  # absent keys
+    # per-layer OR merge: duplicate-insensitive, commutative
+    blob = cb.to_bytes()
+    back = deserialize(blob)
+    assert (back.words == cb.words).all()
+    m = deserialize(blob).merge(deserialize(blob))
+    assert (m.estimate(keys) == expect).all()
+
+
+def test_count_min_log_power_of_two_and_merge():
+    from sketchlib.sketches.cml import CountMinLog
+
+    keys = np.arange(100, dtype=np.uint64)
+    counts = np.array([1, 2, 3, 7, 8, 9, 100, 1000] * 12 + [5] * 4)
+    ml = CountMinLog(16, 5, 137)
+    ml.update_weighted(keys, counts)
+    expect = 2 ** np.floor(np.log2(counts)).astype(np.int64)
+    assert (ml.estimate(keys) == expect).all()
+    assert ml.cells.dtype == np.uint8  # 8x memory win vs u64 counters
+    blob = ml.to_bytes()
+    back = deserialize(blob)
+    assert (back.cells == ml.cells).all()
+    # max merge: idempotent, commutative
+    m = deserialize(blob).merge(deserialize(blob))
+    assert (m.estimate(keys) == expect).all()
