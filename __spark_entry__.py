@@ -198,6 +198,54 @@ def q_cml_user_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def q_cs4w_user_freq(spark, sf_dir):
+    """L4 4-wise count-sketch (polynomial hash family over 2^61-1):
+    exact at collision-free width => exact-count oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.cs4w_point_frequency(spark, ev, "user_id")
+            .orderBy("key"))
+
+
+def q_wmh_weighted_jaccard_langs(spark, sf_dir):
+    """L15 counting (weighted) bottom-k MinHash: pairwise weighted
+    Jaccard between per-language token MULTISETS, exact at
+    k >= |union support| => strict SQL oracle (sum-min / sum-max)."""
+    import math
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.sketches.wmh import CountingMinHash
+
+    with_lang = _lang_tokens(spark, sf_dir)
+    grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
+                                     _p(CountingMinHash, 1 << 17),
+                                     salt_buckets=8)
+    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
+    rows = []
+    for la in sorted(sks):
+        for lb in sorted(sks):
+            if la < lb:
+                j = sks[la].weighted_jaccard(sks[lb])
+                rows.append((la, lb, math.floor(j * 1e6) / 1e6))
+    return spark.createDataFrame(
+        rows, "lang_a string, lang_b string, wjaccard double")
+
+
+def q_filterhll_repeated_shingles(spark, sf_dir):
+    """L25 FilterHLL (BF-gated HLL): distinct 3-gram shingles present
+    in >= 2 documents; (exact, within_bound) gate like the other HLL
+    queries."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs)  # distinct (doc_id, shingle)
+    est = Q.filterhll_repeated_distinct(spark, sh, "shingle", threshold=2)
+    exact = (sh.groupBy("shingle").agg(F.count("*").alias("n"))
+             .filter(F.col("n") >= 2).count())
+    ok = abs(est - exact) <= _HLL_BOUND * max(exact, 1)
+    return spark.createDataFrame([(int(exact), bool(ok))],
+                                 "n_repeated long, within_bound boolean")
+
+
 def q_cm_intersect_user_freq(spark, sf_dir):
     """CM elementwise-min intersection (ccm.h:393-400 analog): events
     split into even/odd halves, one CM each, intersected; at
@@ -602,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_events_hk": q_heavy_hitter_events_hk,
         "cbf_user_freq": q_cbf_user_freq,
         "cml_user_freq": q_cml_user_freq,
+        "cs4w_user_freq": q_cs4w_user_freq,
+        "wmh_weighted_jaccard_langs": q_wmh_weighted_jaccard_langs,
+        "filterhll_repeated_shingles": q_filterhll_repeated_shingles,
         "cm_intersect_user_freq": q_cm_intersect_user_freq,
         "bloom_xor_custkeys": q_bloom_xor_custkeys,
         "hll_setops_langs": q_hll_setops_langs,
@@ -653,14 +704,18 @@ def oracle_sql() -> dict[str, str]:
         lang_pred += f"WHEN hits_{lg} = best AND best > 0 THEN '{lg}' "
     lang_pred += "ELSE 'und' END"
 
-    shingle_sql = (
-        "(SELECT doc_id, shingle FROM ("
-        " SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle"
-        " FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks"
-        f"       FROM {_DUP_SQL} d),"
-        "      LATERAL (SELECT unnest(range(0, greatest(len(toks)-2, 0)))"
-        "               AS i)"
-        ") WHERE shingle <> '' GROUP BY doc_id, shingle)")
+    def shingles_sql(base: str) -> str:
+        return (
+            "(SELECT doc_id, shingle FROM ("
+            " SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle"
+            " FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+')"
+            " AS toks"
+            f"       FROM {base} d),"
+            "      LATERAL (SELECT unnest(range(0, greatest(len(toks)-2, 0)))"
+            "               AS i)"
+            ") WHERE shingle <> '' GROUP BY doc_id, shingle)")
+
+    shingle_sql = shingles_sql(_DUP_SQL)
 
     jaccard_core = f"""
 WITH sh AS {shingle_sql},
@@ -792,6 +847,30 @@ FROM s GROUP BY kind ORDER BY kind"""
             "SELECT user_id AS key, CAST(power(2, CAST(floor(log2(COUNT(*)))"
             " AS INT)) AS BIGINT) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "cs4w_user_freq": (
+            "SELECT user_id AS key, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "wmh_weighted_jaccard_langs": f"""
+WITH tc AS (SELECT d.lang, tk.token, COUNT(*) AS c
+            FROM {_TOKENS_SQL} tk JOIN documents d USING (doc_id)
+            GROUP BY 1, 2),
+langs AS (SELECT DISTINCT lang FROM tc),
+pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+          FROM langs a, langs b WHERE a.lang < b.lang),
+toks AS (SELECT DISTINCT token FROM tc),
+grid AS (SELECT p.lang_a, p.lang_b, t.token,
+                COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+         FROM pairs p CROSS JOIN toks t
+         LEFT JOIN tc ca ON ca.lang = p.lang_a AND ca.token = t.token
+         LEFT JOIN tc cb ON cb.lang = p.lang_b AND cb.token = t.token)
+SELECT lang_a, lang_b,
+       floor((SUM(LEAST(ca, cb)) * 1.0 / SUM(GREATEST(ca, cb))) * 1e6)
+         / 1e6 AS wjaccard
+FROM grid GROUP BY 1, 2 ORDER BY 1, 2""",
+        "filterhll_repeated_shingles": (
+            "SELECT COUNT(*) AS n_repeated, TRUE AS within_bound FROM ("
+            f" SELECT shingle FROM {shingles_sql('documents')} sh"
+            "  GROUP BY shingle HAVING COUNT(*) >= 2)"),
         "cm_intersect_user_freq": """
 SELECT user_id AS key,
        CAST(least(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END),

@@ -68,7 +68,8 @@ def main() -> int:
     for name in ["cm_event_type_freq", "cm_conservative_user_freq",
                  "occm_user_freq", "heavy_hitter_tokens",
                  "heavy_hitter_events_hk", "cm_intersect_user_freq",
-                 "cbf_user_freq", "cml_user_freq",
+                 "cbf_user_freq", "cml_user_freq", "cs4w_user_freq",
+                 "wmh_weighted_jaccard_langs", "filterhll_repeated_shingles",
                  "hll_distinct_tokens", "hll_setops_langs",
                  "minhash_jaccard_langs", "bloom_xor_custkeys",
                  "kll_quantiles_price", "kll_quantiles_per_lang",

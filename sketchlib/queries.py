@@ -96,6 +96,39 @@ def countsketch_point_frequency(spark: SparkSession, df: DataFrame,
     return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
 
 
+def cs4w_point_frequency(spark: SparkSession, df: DataFrame,
+                         key_col: str, np_bits: int = 16,
+                         nh: int = 5, seed: int = 137) -> DataFrame:
+    """4-wise-independent count-sketch (reference include/ccm.h:590-819
+    + hash.h:325-368 polynomial family) point estimates; exact at
+    collision-free width => exact-count oracle."""
+    from sketchlib.sketches.cs4w import CountSketch4W
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(CountSketch4W, np_bits, nh, seed),
+                      pre_aggregate=True)
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
+def filterhll_repeated_distinct(spark: SparkSession, df: DataFrame,
+                                key_col: str, threshold: int = 2,
+                                p: int = 14) -> float:
+    """FilterHLL (reference include/filterhll.h): estimated number of
+    distinct keys occurring at least ``threshold`` times. Through the
+    pre-aggregate path the HLL receives exactly the >=threshold keys,
+    so the plain HLL bound applies to the returned scalar."""
+    from sketchlib.sketches.gadgets import FilterHLL
+
+    hashed = df.select(F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(FilterHLL, p, 20, 4, threshold),
+                      pre_aggregate=True)
+    return float(sk.estimate())
+
+
 def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Exact top-k heavy hitters (SURVEY.md L11/L12 position): one
     hash aggregation (map-side partial combine) followed by

@@ -57,3 +57,25 @@ try:
     register(CountMinLog)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.cs4w import CountSketch4W
+    register(CountSketch4W)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.bbmh import OnePermMinHash
+    register(OnePermMinHash)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.wmh import CountingMinHash
+    register(CountingMinHash)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.gadgets import FilterHLL, HyperBitBit, ModSketch
+    register(FilterHLL)
+    register(HyperBitBit)
+    register(ModSketch)
+except ImportError:
+    pass
