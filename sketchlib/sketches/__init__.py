@@ -79,3 +79,23 @@ try:
     register(ModSketch)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.pcbf import PCBF
+    register(PCBF)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.vac import VACSketch
+    register(VACSketch)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.hmh import HyperMinHash
+    register(HyperMinHash)
+except ImportError:
+    pass
+try:
+    from sketchlib.sketches.setsketch import SetSketch
+    register(SetSketch)
+except ImportError:
+    pass
