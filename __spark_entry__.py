@@ -457,7 +457,8 @@ def q_dedup_minhash(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _dup_corpus(_t(spark, sf_dir, "documents"))
-    return (D.jaccard_pairs(docs, threshold=0.6)
+    return (D.jaccard_pairs(docs, threshold=0.6,
+                            shingle_df=D.shingles(docs, hashed=True))
             .orderBy("id_a", "id_b"))
 
 

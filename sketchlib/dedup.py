@@ -31,11 +31,28 @@ def normalized_tokens(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
-    """(id, shingle) distinct n-word shingles (n-grams of tokens)."""
+             text_col: str = "text", hashed: bool = False) -> DataFrame:
+    """(id, shingle) distinct n-word shingles (n-grams of tokens).
+
+    ``hashed=True`` returns (id, sh64) with the shingle identity as
+    ``xxhash64(shingle)``: the string is built transiently inside the
+    scan stage but only the 8-byte hash is kept/cached/joined — the
+    same distinct/join semantics (modulo 2^-64 collisions) at a
+    fraction of the shuffle, cache and join-key cost. The string form
+    remains for readability/oracle parity."""
     toks = (df.select(id_col,
                       F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
                        .alias("toks")))
+    if hashed:
+        sh = toks.select(
+            id_col,
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
+            )).alias("shingle"))
+        return (sh.filter(F.col("shingle") != "")
+                .select(id_col, F.xxhash64("shingle").alias("sh64"))
+                .distinct())
     # JVM-side n-gram assembly over the token array
     sh = toks.select(
         id_col,
@@ -61,8 +78,13 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame | None, n_perm: int = 64,
                        shingle_n: int = 3, id_col: str = "doc_id",
                        text_col: str = "text",
-                       shingle_df: DataFrame | None = None) -> DataFrame:
-    """(id, sig: array<long>) MinHash signature per document.
+                       shingle_df: DataFrame | None = None,
+                       bands: int | None = None) -> DataFrame:
+    """(id, sig: array<long>) MinHash signature per document; with
+    ``bands`` also (id, bands: array<long>) — the LSH band keys
+    (WangHash fold of each band's rows) computed inside the SAME numpy
+    merge kernel, so the downstream bucket join is a plain
+    posexplode + equi-join with no wide Catalyst hash expressions.
 
     The n_perm hash family runs as ONE vectorized numpy kernel per
     partition (WangHash of ``sh64 ^ seed_p`` over an (n, n_perm)
@@ -84,7 +106,8 @@ def minhash_signatures(df: DataFrame | None, n_perm: int = 64,
 
     sh = shingle_df if shingle_df is not None \
         else shingles(df, shingle_n, id_col, text_col)
-    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh64"))
+    hashed = sh.select(id_col, "sh64") if "sh64" in sh.columns \
+        else sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh64"))
     seeds = np.random.default_rng(0x5EED).integers(
         0, 1 << 63, n_perm, dtype=np.uint64)
 
@@ -116,29 +139,60 @@ def minhash_signatures(df: DataFrame | None, n_perm: int = 64,
     partials = hashed.mapInPandas(partial,
                                   schema=f"{id_col} long, sig array<long>")
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(s, dtype=np.int64)
-                      for s in pdf["sig"]]).min(axis=0)
-        head = pdf.iloc[:1][[id_col]].copy()
-        head["sig"] = [m]
-        return head
+    def merge_partition(batches):
+        from sketchlib.hashing import wang_hash_u64 as _wh
 
-    return (partials.groupBy(id_col)
-            .applyInPandas(merge, schema=f"{id_col} long, sig array<long>"))
+        ids, sigs = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids.append(pdf[id_col].to_numpy())
+            sigs.append(np.stack([np.asarray(s, dtype=np.int64)
+                                  for s in pdf["sig"]]))
+        if not ids:
+            return
+        uids, mins = _reduce(np.concatenate(ids), np.vstack(sigs))
+        out = pd.DataFrame({id_col: uids, "sig": list(mins)})
+        if bands:
+            rows = n_perm // bands
+            grp = mins.view(np.uint64).reshape(len(uids), bands, rows)
+            keys = _wh(grp[:, :, 0] ^ np.uint64(0x9E3779B97F4A7C15))
+            for r in range(1, rows):
+                keys = _wh(keys ^ grp[:, :, r])
+            out["bands"] = list(keys.view(np.int64))
+        yield out
+
+    schema = f"{id_col} long, sig array<long>"
+    if bands:
+        schema += ", bands array<long>"
+    # hash-exchange on the doc id, then ONE numpy reduce per partition
+    # (a per-group applyInPandas costs a Python call per doc — at 10^5+
+    # docs per partition that dominates the whole pipeline)
+    return (partials.repartition(id_col)
+            .mapInPandas(merge_partition, schema=schema))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
                         id_col: str = "doc_id",
                         n_perm: int = 64) -> DataFrame:
-    """Band the signature array (rows = n_perm/bands) and equi-join
-    matching buckets: returns distinct (id_a, id_b), id_a < id_b."""
-    rows = n_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.xxhash64(*cols).alias("key")))
-    banded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+    """Equi-join matching band buckets: returns distinct
+    (id_a, id_b), id_a < id_b. Band keys come precomputed from the
+    signature kernel (``bands`` array column) when available —
+    posexplode + join, no wide hash expressions; otherwise they are
+    derived from the signature array JVM-side."""
+    if "bands" in sigs.columns:
+        banded = sigs.select(id_col,
+                             F.posexplode("bands").alias("band", "key"))
+    else:
+        rows = n_perm // bands
+        band_cols = []
+        for b in range(bands):
+            cols = [F.element_at("sig", b * rows + r + 1)
+                    for r in range(rows)]
+            band_cols.append(F.struct(F.lit(b).alias("band"),
+                                      F.xxhash64(*cols).alias("key")))
+        banded = (sigs.select(id_col,
+                              F.explode(F.array(*band_cols)).alias("bk"))
                   .select(id_col, "bk.band", "bk.key"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -161,6 +215,7 @@ def jaccard_pairs(df: DataFrame, threshold: float, shingle_n: int = 3,
     shingle table."""
     sh = shingle_df if shingle_df is not None \
         else shingles(df, shingle_n, id_col, text_col)
+    key = "sh64" if "sh64" in sh.columns else "shingle"
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         # restrict BEFORE the shingle join: candidates x a-side shingles,
@@ -168,16 +223,16 @@ def jaccard_pairs(df: DataFrame, threshold: float, shingle_n: int = 3,
         # |candidates| * shingles-per-doc — the all-pairs self-join never
         # materializes (it would dominate everything at scale)
         inter = (candidates
-                 .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),
+                 .join(sh.select(F.col(id_col).alias("id_a"), key),
                        "id_a")
-                 .join(sh.select(F.col(id_col).alias("id_b"), "shingle"),
-                       ["id_b", "shingle"])
+                 .join(sh.select(F.col(id_col).alias("id_b"), key),
+                       ["id_b", key])
                  .groupBy("id_a", "id_b")
                  .agg(F.count("*").alias("inter")))
     else:
         a = sh.alias("a")
         b = sh.alias("b")
-        inter = (a.join(b, "shingle")
+        inter = (a.join(b, key)
                   .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                   .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                            F.col(f"b.{id_col}").alias("id_b"))
@@ -205,10 +260,10 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
     read it, so the corpus is shingled a single time."""
     from pyspark import StorageLevel
 
-    sh = (shingles(df, shingle_n, id_col, text_col)
+    sh = (shingles(df, shingle_n, id_col, text_col, hashed=True)
           .persist(StorageLevel.MEMORY_AND_DISK))
     sigs = minhash_signatures(None, n_perm, shingle_n, id_col, text_col,
-                              shingle_df=sh)
+                              shingle_df=sh, bands=bands)
     cands = lsh_candidate_pairs(sigs, bands, id_col, n_perm=n_perm)
     return jaccard_pairs(df, threshold, shingle_n, id_col, text_col,
                          candidates=cands, shingle_df=sh)
