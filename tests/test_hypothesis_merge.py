@@ -100,3 +100,71 @@ def test_conservative_cm_bounds_any_partitioning(seed, cuts):
     est = acc.estimate(keys)
     assert (est >= true).all()                      # one-sided guarantee
     assert (est <= plain.estimate(keys)).all()      # <= plain CM
+
+
+@settings(max_examples=15, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_minhash_bottomk_partition_invariant(cuts, order):
+    from sketchlib.sketches.mh import MinHashBottomK
+    whole = MinHashBottomK(512)
+    whole.update(_STREAM)
+    merged = _partials(lambda: MinHashBottomK(512), cuts, list(order))
+    assert (merged.values == whole.values).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_counting_minhash_partition_invariant(cuts, order):
+    from sketchlib.sketches.wmh import CountingMinHash
+    whole = CountingMinHash(512)
+    whole.update(_STREAM)
+    merged = _partials(lambda: CountingMinHash(512), cuts, list(order))
+    assert (merged.values == whole.values).all()
+    assert (merged.weights == whole.weights).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_oneperm_minhash_partition_invariant(cuts, order):
+    from sketchlib.sketches.bbmh import OnePermMinHash
+    whole = OnePermMinHash(8)
+    whole.update(_STREAM)
+    merged = _partials(lambda: OnePermMinHash(8), cuts, list(order))
+    assert (merged.mins == whole.mins).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_hyperminhash_partition_invariant(cuts, order):
+    from sketchlib.sketches.hmh import HyperMinHash
+    whole = HyperMinHash(8, 10)
+    whole.update(_STREAM)
+    merged = _partials(lambda: HyperMinHash(8, 10), cuts, list(order))
+    assert (merged.ranks == whole.ranks).all()
+    assert (merged.mants == whole.mants).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_setsketch_partition_invariant(cuts, order):
+    from sketchlib.sketches.setsketch import SetSketch
+    whole = SetSketch(8, base=1.2)
+    whole.update(_STREAM)
+    merged = _partials(lambda: SetSketch(8, base=1.2), cuts, list(order))
+    assert (merged.registers == whole.registers).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_counting_bloom_partition_invariant(cuts, order):
+    """cbf layers are duplicate-insensitive ORs, but the layer a key
+    reaches depends on its per-partition weight, so the merged sketch
+    is a LOWER bound of the whole-stream build: every bit set in the
+    merged filter is set in the sequential one."""
+    from sketchlib.sketches.cbf import CountingBloom
+    whole = CountingBloom(14, 3, 12)
+    whole.update(_STREAM)
+    merged = _partials(lambda: CountingBloom(14, 3, 12), cuts, list(order))
+    assert (merged.words & ~whole.words).sum() == 0  # subset of bits
+    # layer 0 (seen-at-all) is exactly order-independent
+    assert (merged.words[0] == whole.words[0]).all()

@@ -136,3 +136,45 @@ def test_rnla_tensor_sketch_outer_product_inner_products():
     scale = (np.linalg.norm(x1) * np.linalg.norm(y1)
              * np.linalg.norm(x2) * np.linalg.norm(y2))
     assert abs(est - true) <= 8 * scale / np.sqrt(out)
+
+
+def test_new_sketches_through_spark_harness(spark):
+    """End-to-end through the generic distributed harness: the new
+    sketch classes must build via mapInPandas partials + blob-registry
+    merges on executors and agree with a local sequential build."""
+    from functools import partial as _p
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.aggregate import build_grouped_sketches, build_sketch
+    from sketchlib.sketches.hmh import HyperMinHash
+    from sketchlib.sketches.mh import MinHashBottomK
+    from sketchlib.sketches.setsketch import SetSketch
+
+    ev = (spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+          .select(F.xxhash64("user_id").alias("kh")))
+    local_vals = ev.toPandas()["kh"].to_numpy().view(np.uint64)
+
+    for factory in (_p(HyperMinHash, 10, 8), _p(SetSketch, 10, 1.5),
+                    _p(MinHashBottomK, 4096)):
+        dist = build_sketch(ev.repartition(7), "kh", factory)
+        seq = factory()
+        seq.update(local_vals)
+        # order-independent merges => bit-identical state
+        assert dist.to_bytes() == seq.to_bytes(), factory
+
+    # grouped path with salting
+    evk = (spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+           .select("event_type", F.xxhash64("user_id").alias("kh")))
+    grouped = build_grouped_sketches(evk, ["event_type"], "kh",
+                                     _p(MinHashBottomK, 4096),
+                                     salt_buckets=4)
+    rows = {r["event_type"]: r["sketch"] for r in grouped.collect()}
+    assert len(rows) == 5
+    from sketchlib.sketches.base import deserialize
+    pdf = evk.toPandas()
+    for et, blob in rows.items():
+        seq = MinHashBottomK(4096)
+        seq.update(pdf[pdf.event_type == et]["kh"].to_numpy()
+                   .view(np.uint64))
+        assert deserialize(bytes(blob)).to_bytes() == seq.to_bytes()
