@@ -433,6 +433,28 @@ def q_kll_quantiles_price(spark, sf_dir):
                               kind="kll", k=1 << 17)
 
 
+def q_ddsketch_quantiles_price(spark, sf_dir):
+    """L13 DDSketch (reference include/dd.h; paper semantics — the
+    vendored dd.h is itself unfinished, grow_right throws at dd.h:129):
+    relative-error quantiles via the pre-aggregate weighted bucket
+    path. Strict gate: emits the exact rank quantile
+    (SQL-reproducible) plus a within_bound flag from the real DD
+    estimate (rel err <= alpha while uncollapsed — deterministic,
+    so the flag is a hard gate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
+                               kind="kll", k=1 << 17)
+    dd = (Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
+                             kind="dd", alpha=0.01, max_bins=4096,
+                             pre_aggregate=True)
+          .withColumnRenamed("value", "dd_est"))
+    return (exact.join(dd, "q")
+            .select("q", "value",
+                    (F.abs(F.col("dd_est") - F.col("value"))
+                     <= 0.01 * F.abs(F.col("value"))).alias("within_bound"))
+            .orderBy("q"))
+
+
 def q_tdigest_quantiles_value(spark, sf_dir):
     """L13/t-digest in its exact regime (delta=inf => every point its
     own centroid => rank-exact quantiles, mirroring the KLL gate); the
@@ -664,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "kll_quantiles_price": q_kll_quantiles_price,
+        "ddsketch_quantiles_price": q_ddsketch_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -939,6 +962,10 @@ ORDER BY lang, q""",
             "      ORDER BY o_custkey LIMIT 500) "
             "ORDER BY o_custkey"),
         "kll_quantiles_price": quantile_sql,
+        "ddsketch_quantiles_price": (
+            "SELECT q, value, TRUE AS within_bound FROM ("
+            + rank_quantile_sql("lineitem", "l_extendedprice")
+            + ") ORDER BY q"),
         "tdigest_quantiles_value": rank_quantile_sql("events", "value"),
         "hll_distinct_tokens": (
             f"SELECT COUNT(DISTINCT token) AS n_distinct, TRUE AS "

@@ -73,6 +73,7 @@ def main() -> int:
                  "hll_distinct_tokens", "hll_setops_langs",
                  "minhash_jaccard_langs", "bloom_xor_custkeys",
                  "kll_quantiles_price", "kll_quantiles_per_lang",
+                 "ddsketch_quantiles_price",
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
                  "dedup_embedding_lsh", "simhash_fingerprints",
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",

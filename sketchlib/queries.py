@@ -357,14 +357,15 @@ def heavy_hitters_hk(df: DataFrame, key_col: str, k: int,
 def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,
                      qs: list[float], kind: str = "kll",
                      k: int = 200, delta: float = 200.0,
+                     alpha: float = 0.01, max_bins: int = 4096,
                      pre_aggregate: bool = False,
                      rank_mode: bool = False) -> DataFrame:
-    """Quantiles of ``df[value_col]`` via KLL or t-digest, returned as
-    (q, value) rows. Quantile spec (KLL): smallest inserted value whose
-    weighted rank >= ceil(q * n).
+    """Quantiles of ``df[value_col]`` via KLL, t-digest, or DDSketch,
+    returned as (q, value) rows. Quantile spec (KLL): smallest inserted
+    value whose weighted rank >= ceil(q * n).
 
-    ``pre_aggregate`` (t-digest only): JVM groupBy(value).count()
-    first, weighted centroid inserts after — the scale path for
+    ``pre_aggregate`` (t-digest/DD only): JVM groupBy(value).count()
+    first, weighted centroid/bucket inserts after — the scale path for
     columns with heavy value repetition (|distinct| kernel work
     instead of |rows|).
 
@@ -372,14 +373,21 @@ def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,
     merges, so ``rank_quantile`` returns the classic rank quantile and
     the operator is strict-equality oracle-checkable (same pattern as
     KLL with capacity >= n). ``rank_mode`` forces rank-style quantiles
-    for t-digest regardless of delta."""
+    for t-digest regardless of delta. ``kind='dd'`` (DDSketch,
+    alpha/max_bins params) guarantees relative error <= alpha at the
+    same rank spec while its store stays uncollapsed."""
     import math as _math
 
+    from sketchlib.sketches.dd import DDSketch
     from sketchlib.sketches.kll import KLL
     from sketchlib.sketches.tdigest import TDigest
     col = df.select(F.col(value_col).cast("double").alias("v"))
     if kind == "kll":
         sk = build_sketch(col, "v", partial(KLL, k), as_u64=False)
+        rows = [(float(q), float(sk.quantile(q))) for q in qs]
+    elif kind == "dd":
+        sk = build_sketch(col, "v", partial(DDSketch, alpha, max_bins),
+                          as_u64=False, pre_aggregate=pre_aggregate)
         rows = [(float(q), float(sk.quantile(q))) for q in qs]
     else:
         sk = build_sketch(col, "v", partial(TDigest, delta), as_u64=False,

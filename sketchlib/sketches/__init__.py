@@ -99,3 +99,8 @@ try:
     register(SetSketch)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.dd import DDSketch
+    register(DDSketch)
+except ImportError:
+    pass

@@ -168,3 +168,18 @@ def test_counting_bloom_partition_invariant(cuts, order):
     assert (merged.words & ~whole.words).sum() == 0  # subset of bits
     # layer 0 (seen-at-all) is exactly order-independent
     assert (merged.words[0] == whole.words[0]).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_ddsketch_partition_invariant(cuts, order):
+    """DDSketch bucket-add merge is exact integer math: bit-exact
+    under any partitioning while no collapse triggers (max_bins large
+    enough for the stream's key range)."""
+    from sketchlib.sketches.dd import DDSketch
+    whole = DDSketch(alpha=0.02, max_bins=4096)
+    whole.update(_STREAM.astype(np.float64))
+    merged = _partials(lambda: DDSketch(alpha=0.02, max_bins=4096),
+                       cuts, list(order))
+    assert merged.count == whole.count and merged.mink == whole.mink
+    assert (merged.bins == whole.bins).all()

@@ -78,6 +78,23 @@ def test_quantiles_distributed_vs_exact_and_builtin(spark):
     assert abs(rank_b - 0.5) < 0.02
 
 
+def test_ddsketch_distributed_relative_error(spark):
+    """DDSketch through the same harness (pre-aggregate weighted
+    path): every quantile within the alpha relative-error guarantee
+    of the exact rank quantile."""
+    from sketchlib.sketches.dd import DDSketch
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    col = li.select(F.col("l_extendedprice").alias("v"))
+    dd = build_sketch(col, "v", partial(DDSketch, 0.01, 4096),
+                      as_u64=False, pre_aggregate=True)
+    vals = np.sort(col.toPandas()["v"].to_numpy())
+    n = len(vals)
+    assert dd.count == n
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        exact = vals[max(1, int(np.ceil(q * n))) - 1]
+        assert abs(dd.quantile(q) - exact) <= 0.01 * abs(exact), q
+
+
 def test_grouped_sketches_per_key(spark, tokens):
     out = build_grouped_sketches(
         tokens.withColumn("kind", F.substring("token", 1, 1)),
