@@ -403,6 +403,255 @@ def q_kll_quantiles_per_lang(spark, sf_dir):
             .orderBy("lang", "q"))
 
 
+def q_pcbf_user_freq(spark, sf_dir):
+    """L10 pcbf (cbf.h:115-160): counting-Bloom cascade + per-stage
+    HLLs; power-of-two multiplicity exact through the pre-aggregate
+    path at collision-free widths => strict oracle (stage HLL
+    cardinalities are bound-tested in tests/)."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.pcbf_point_frequency(spark, ev, "user_id")
+            .orderBy("key"))
+
+
+def q_vac_user_spectrum(spark, sf_dir):
+    """L22 VAC (vac.h:20-60): multiplicity spectrum — layer i sees the
+    stream subsampled at 2^-i (deterministic weighted form), so at
+    collision-free width layer i's probe is exactly count >> i."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.vac_spectrum_frequency(spark, ev, "user_id", n_layers=8)
+            .orderBy("key", "layer"))
+
+
+def q_swcm_recent_user_freq(spark, sf_dir):
+    """L7 sliding-window CM (ccm.h:840-869): per-user frequency within
+    the trailing 4096 events under the stable (ts, event_id) stream
+    order; deletion-exact ring at collision-free width => the strict
+    oracle is a row_number() window count."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.swcm_trailing_frequency(spark, ev, "user_id",
+                                      ["ts", "event_id"], window=4096)
+            .orderBy("key"))
+
+
+def _shingle_stream(spark, sf_dir):
+    """one row per distinct (doc_id, shingle) with the 64-bit key —
+    the shared input of the cardinality-sibling estimators."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.shingles(docs).select(F.col("shingle"),
+                                   F.xxhash64("shingle").alias("kh"))
+
+
+# 6-sigma acceptance bands per estimator (all deterministic given the
+# data + seeds, so each flag is a hard gate like the HLL ones):
+#   pcsa     n_maps=256: rse 0.78/sqrt(256)=4.9%   -> 0.30
+#   setsketch 6 * sk.relative_error() (computed from its own params)
+#   hyperbitbit: Sedgewick's coarse 2-register gadget — documented
+#                factor-2.2 band (tests/test_siblings_round2.py:112)
+#   modsketch mod=64: binomial rse sqrt(mod/n) <= 6.3% at n>=16k -> 0.38
+_CARD_SIBLINGS = [
+    ("hyperbitbit", None, 2.2),     # factor band
+    ("modsketch", None, 0.38),
+    ("pcsa", None, 0.30),
+    ("setsketch", None, None),      # 6 * relative_error()
+]
+
+
+def q_cardinality_siblings_shingles(spark, sf_dir):
+    """L19 PCSA, L18 SetSketch, L20 HyperBitBit, L24 ModSketch: one
+    distinct-shingle cardinality estimate per sibling over the same
+    deduped key stream (JVM-side distinct, |distinct| kernel rows).
+    Output (estimator, n_distinct, within_bound); the oracle asserts
+    every flag."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_sketch
+    from sketchlib.sketches.gadgets import HyperBitBit, ModSketch
+    from sketchlib.sketches.pcsa import PCSA
+    from sketchlib.sketches.setsketch import SetSketch
+
+    sh = _shingle_stream(spark, sf_dir)
+    keys = sh.select("kh").distinct().cache()
+    exact = keys.count()
+    factories = {
+        "pcsa": _p(PCSA, 256),
+        "setsketch": _p(SetSketch, 12),
+        "hyperbitbit": _p(HyperBitBit,),
+        "modsketch": _p(ModSketch, 64),
+    }
+    rows = []
+    for name, _, band in _CARD_SIBLINGS:
+        # HyperBitBit is a single-stream gadget: its merge is a lossy
+        # heuristic (the reference defines none, hbb.h), so its
+        # documented factor band only holds for one sequential kernel
+        kp = 1 if name == "hyperbitbit" else None
+        sk = build_sketch(keys, "kh", factories[name],
+                          kernel_partitions=kp)
+        est = float(sk.estimate() if hasattr(sk, "estimate")
+                    else sk.cardinality())
+        if name == "hyperbitbit":
+            ok = exact / band <= est <= exact * band
+        else:
+            b = band if band is not None else 6 * sk.relative_error
+            ok = abs(est - exact) <= b * exact
+        rows.append((name, int(exact), bool(ok)))
+    keys.unpersist()
+    return spark.createDataFrame(
+        rows, "estimator string, n_distinct long, within_bound boolean")
+
+
+def _lang_shingles(spark, sf_dir):
+    """(lang, token, kh) distinct per-language shingle sets — 'token'
+    column name so _pairwise_exact_sets applies unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    return (sh.join(docs.select("doc_id", "lang"), "doc_id")
+            .select("lang", F.col("shingle").alias("token"))
+            .distinct()
+            .withColumn("kh", F.xxhash64("token")))
+
+
+# 6-sigma jaccard bands (deterministic given seeds => hard gates):
+#   hyperminhash p=12,r=10: sqrt(J(1-J)/2^12) <= 0.0078; 6s + 2^-r
+#     collision bias ~ 0.048 -> 0.06
+#   onepermminhash p=10 (b=64): sqrt(J(1-J)/2^10) <= 0.0156 -> 0.10
+_SETSIM_BANDS = {"hyperminhash": 0.06, "onepermminhash": 0.10}
+
+
+def q_setsim_siblings_langs(spark, sf_dir):
+    """L17 HyperMinHash (hmh.h) + L16 one-permutation b-bit MinHash
+    (bbmh.h): pairwise Jaccard between per-language shingle sets,
+    gated by the exact (n_inter, n_union) pair counts + per-estimator
+    6-sigma bound flags."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.sketches.bbmh import OnePermMinHash
+    from sketchlib.sketches.hmh import HyperMinHash
+
+    # one shingle+join scan feeds both estimators and the exact gate
+    with_lang = _lang_shingles(spark, sf_dir).cache()
+    factories = {"hyperminhash": _p(HyperMinHash, 12, 10),
+                 "onepermminhash": _p(OnePermMinHash, 10)}
+    est_rows = []
+    for name, fac in sorted(factories.items()):
+        grouped = build_grouped_sketches(with_lang, ["lang"], "kh", fac,
+                                         salt_buckets=8)
+        sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
+        for la in sorted(sks):
+            for lb in sorted(sks):
+                if la < lb:
+                    est_rows.append((name, la, lb,
+                                     float(sks[la].jaccard(sks[lb]))))
+    est = spark.createDataFrame(
+        est_rows, "estimator string, lang_a string, lang_b string, j double")
+    exact = _pairwise_exact_sets(with_lang)
+    bands = F.create_map(*[F.lit(x) for kv in _SETSIM_BANDS.items()
+                           for x in kv])
+    return (est.join(exact, ["lang_a", "lang_b"])
+            .select("estimator", "lang_a", "lang_b", "n_inter", "n_union",
+                    (F.abs(F.col("j") - F.col("n_inter") / F.col("n_union"))
+                     <= bands[F.col("estimator")]).alias("within_bound"))
+            .orderBy("estimator", "lang_a", "lang_b"))
+
+
+def q_cws_weighted_sim_langs(spark, sf_dir):
+    """L23 CWS (Ioffe consistent weighted sampling, cws.h analog):
+    pairwise WEIGHTED Jaccard between per-language token multisets via
+    1024-sample CWS signatures (signatures built per group inside
+    applyInPandas — distributed; only the 1024x2 signatures reach the
+    driver). Gate: exact sum-min/sum-max weighted Jaccard (the wmh
+    oracle) + 6-sigma flag (sqrt(J(1-J)/1024) => band 0.10)."""
+    import pandas as _pd
+
+    from sketchlib.sketches.cws import CWSSignature
+
+    with_lang = _lang_tokens(spark, sf_dir)
+    counts = with_lang.groupBy("lang", "kh").count()
+
+    def sig(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        s = CWSSignature(1024).signature(pdf["kh"].to_numpy(),
+                                         pdf["count"].to_numpy())
+        return _pd.DataFrame({"lang": [pdf["lang"].iloc[0]],
+                              "feat": [s[:, 0].tolist()],
+                              "t": [s[:, 1].tolist()]})
+    import numpy as _np
+
+    sigs = {r["lang"]: _np.column_stack([r["feat"], r["t"]])
+            for r in (counts.groupBy("lang")
+                      .applyInPandas(sig, "lang string, feat array<long>, "
+                                          "t array<long>")
+                      .collect())}
+    est_rows = []
+    for la in sorted(sigs):
+        for lb in sorted(sigs):
+            if la < lb:
+                est_rows.append(
+                    (la, lb, CWSSignature.similarity(sigs[la], sigs[lb])))
+    est = spark.createDataFrame(est_rows,
+                                "lang_a string, lang_b string, j double")
+    # sum over the union support of max(ca,cb) = tot_a + tot_b -
+    # sum(min) (missing tokens contribute min 0), so the exact weighted
+    # Jaccard needs only the inner join + per-lang totals — no
+    # zero-filled grid
+    wc = with_lang.groupBy("lang", "token").count()
+    tot = wc.groupBy("lang").agg(F.sum("count").alias("tot"))
+    a = wc.select(F.col("lang").alias("lang_a"), "token",
+                  F.col("count").alias("ca"))
+    b = wc.select(F.col("lang").alias("lang_b"), "token",
+                  F.col("count").alias("cb"))
+    smin = (a.join(b, "token").filter(F.col("lang_a") < F.col("lang_b"))
+            .groupBy("lang_a", "lang_b")
+            .agg(F.sum(F.least("ca", "cb")).alias("smin")))
+    ta = tot.select(F.col("lang").alias("lang_a"), F.col("tot").alias("ta"))
+    tb = tot.select(F.col("lang").alias("lang_b"), F.col("tot").alias("tb"))
+    exact = (ta.crossJoin(tb).filter(F.col("lang_a") < F.col("lang_b"))
+             .join(smin, ["lang_a", "lang_b"], "left")
+             .withColumn("smin", F.coalesce("smin", F.lit(0)))
+             .select("lang_a", "lang_b",
+                     (F.col("smin")
+                      / (F.col("ta") + F.col("tb") - F.col("smin")))
+                     .alias("wj")))
+    return (est.join(exact, ["lang_a", "lang_b"])
+            .select("lang_a", "lang_b",
+                    (F.floor(F.col("wj") * 1e6) / 1e6).alias("wjaccard"),
+                    (F.abs(F.col("j") - F.col("wj")) <= 0.10)
+                    .alias("within_bound"))
+            .orderBy("lang_a", "lang_b"))
+
+
+def q_rnla_dot_embeddings(spark, sf_dir):
+    """L26 RNLA kit (rnla.h analog): pairwise dot products between the
+    first 6 embedding vectors estimated from 1024-dim CountSketch
+    transforms (AMS sketch-and-dot); linearity + unbiasedness are
+    property-tested, here the gate is the exact dot (SQL
+    list_inner_product) + the 8*||a||*||b||/sqrt(d') two-sided band."""
+    import numpy as _np
+
+    from sketchlib.sketches.rnla import cs_transform_batch, dot
+
+    emb = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 6)
+           .select("vec_id", "embedding").collect())
+    vecs = {r["vec_id"]: _np.asarray(r["embedding"], dtype=_np.float64)
+            for r in emb}
+    ids = sorted(vecs)
+    X = _np.stack([vecs[i] for i in ids])
+    S = cs_transform_batch(X, 1024)
+    rows = []
+    for i, ia in enumerate(ids):
+        for j, ib in enumerate(ids):
+            if ia < ib:
+                true = float(vecs[ia] @ vecs[ib])
+                est = dot(S[i], S[j])
+                band = (8 * _np.linalg.norm(vecs[ia])
+                        * _np.linalg.norm(vecs[ib]) / _np.sqrt(1024))
+                import math as _m
+                rows.append((ia, ib, _m.floor(true * 1e6) / 1e6,
+                             bool(abs(est - true) <= band)))
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, dot double, within_bound boolean")
+
+
 def q_distinct_tokens_per_lang(spark, sf_dir):
     """exact grouped distinct (oracle for the HLL sibling)."""
     docs = _t(spark, sf_dir, "documents")
@@ -681,6 +930,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_setops_langs": q_hll_setops_langs,
         "minhash_jaccard_langs": q_minhash_jaccard_langs,
         "kll_quantiles_per_lang": q_kll_quantiles_per_lang,
+        "pcbf_user_freq": q_pcbf_user_freq,
+        "vac_user_spectrum": q_vac_user_spectrum,
+        "swcm_recent_user_freq": q_swcm_recent_user_freq,
+        "cardinality_siblings_shingles": q_cardinality_siblings_shingles,
+        "setsim_siblings_langs": q_setsim_siblings_langs,
+        "cws_weighted_sim_langs": q_cws_weighted_sim_langs,
+        "rnla_dot_embeddings": q_rnla_dot_embeddings,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "hll_distinct_per_lang": q_hll_distinct_per_lang,
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
@@ -954,6 +1210,72 @@ ORDER BY lang, q""",
             "SELECT d.lang, COUNT(DISTINCT tk.token) AS n_distinct "
             f"FROM {_TOKENS_SQL} tk JOIN documents d USING (doc_id) "
             "GROUP BY d.lang ORDER BY d.lang"),
+        "pcbf_user_freq": (
+            "SELECT user_id AS key, CAST(power(2, CAST(floor(log2(COUNT(*)))"
+            " AS INT)) AS BIGINT) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "vac_user_spectrum": """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+layers AS (SELECT unnest(range(0, 8)) AS layer)
+SELECT c.user_id AS key, CAST(l.layer AS INT) AS layer,
+       CAST(c.cnt >> l.layer AS BIGINT) AS est_count
+FROM c CROSS JOIN layers l ORDER BY key, layer""",
+        "swcm_recent_user_freq": """
+WITH ordered AS (SELECT user_id, row_number() OVER
+                   (ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+w AS (SELECT user_id, COUNT(*) AS cnt FROM ordered
+      WHERE rn <= 4096 GROUP BY 1)
+SELECT u.user_id AS key, CAST(COALESCE(w.cnt, 0) AS BIGINT) AS est_count
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN w USING (user_id) ORDER BY key""",
+        "cardinality_siblings_shingles": (
+            "SELECT v.estimator, n.n AS n_distinct, TRUE AS within_bound "
+            "FROM (SELECT COUNT(DISTINCT shingle) AS n FROM "
+            f"{shingles_sql('documents')} sh) n "
+            "CROSS JOIN (VALUES ('hyperbitbit'), ('modsketch'), ('pcsa'), "
+            "('setsketch')) AS v(estimator) ORDER BY v.estimator"),
+        "setsim_siblings_langs": f"""
+WITH ls AS (SELECT DISTINCT d.lang, s.shingle
+            FROM {shingles_sql('documents')} s
+            JOIN documents d USING (doc_id)),
+sizes AS (SELECT lang, COUNT(*) AS n FROM ls GROUP BY 1),
+inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+          FROM ls a JOIN ls b ON a.shingle = b.shingle AND a.lang < b.lang
+          GROUP BY 1, 2),
+pairs AS (SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+                 sa.n AS na, sb.n AS nb
+          FROM sizes sa, sizes sb WHERE sa.lang < sb.lang)
+SELECT v.estimator, p.lang_a, p.lang_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(p.na + p.nb - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+       TRUE AS within_bound
+FROM pairs p LEFT JOIN inter i USING (lang_a, lang_b)
+CROSS JOIN (VALUES ('hyperminhash'), ('onepermminhash')) AS v(estimator)
+ORDER BY v.estimator, p.lang_a, p.lang_b""",
+        "cws_weighted_sim_langs": f"""
+WITH tc AS (SELECT d.lang, tk.token, COUNT(*) AS c
+            FROM {_TOKENS_SQL} tk JOIN documents d USING (doc_id)
+            GROUP BY 1, 2),
+langs AS (SELECT DISTINCT lang FROM tc),
+pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+          FROM langs a, langs b WHERE a.lang < b.lang),
+toks AS (SELECT DISTINCT token FROM tc),
+grid AS (SELECT p.lang_a, p.lang_b, t.token,
+                COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+         FROM pairs p CROSS JOIN toks t
+         LEFT JOIN tc ca ON ca.lang = p.lang_a AND ca.token = t.token
+         LEFT JOIN tc cb ON cb.lang = p.lang_b AND cb.token = t.token)
+SELECT lang_a, lang_b,
+       floor((SUM(LEAST(ca, cb)) * 1.0 / SUM(GREATEST(ca, cb))) * 1e6)
+         / 1e6 AS wjaccard, TRUE AS within_bound
+FROM grid GROUP BY 1, 2 ORDER BY 1, 2""",
+        "rnla_dot_embeddings": """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 6)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_inner_product(a.v, b.v) * 1e6) / 1e6 AS dot,
+       TRUE AS within_bound
+FROM base a JOIN base b ON a.vec_id < b.vec_id ORDER BY id_a, id_b""",
         "bloom_member_custkeys": (
             "SELECT o_custkey, o_custkey IN "
             " (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "

@@ -70,6 +70,10 @@ def main() -> int:
                  "heavy_hitter_events_hk", "cm_intersect_user_freq",
                  "cbf_user_freq", "cml_user_freq", "cs4w_user_freq",
                  "wmh_weighted_jaccard_langs", "filterhll_repeated_shingles",
+                 "pcbf_user_freq", "vac_user_spectrum",
+                 "swcm_recent_user_freq", "cardinality_siblings_shingles",
+                 "setsim_siblings_langs", "cws_weighted_sim_langs",
+                 "rnla_dot_embeddings",
                  "hll_distinct_tokens", "hll_setops_langs",
                  "minhash_jaccard_langs", "bloom_xor_custkeys",
                  "kll_quantiles_price", "kll_quantiles_per_lang",

@@ -127,10 +127,14 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
             sk.update(vals)
         yield pd.DataFrame({"sketch": [sk.to_bytes()]})
 
-    blobs = df.select(col).mapInPandas(partial_build, schema="sketch binary")
-    folded = (blobs.repartition(tree_width)
-                   .mapInPandas(_fold_blob_rows, schema="sketch binary")
-                   .toPandas())
+    src = df.select(col)
+    if kernel_partitions is not None:
+        src = src.repartition(kernel_partitions)
+    blobs = src.mapInPandas(partial_build, schema="sketch binary")
+    if kernel_partitions is None or kernel_partitions > tree_width:
+        blobs = (blobs.repartition(tree_width)
+                 .mapInPandas(_fold_blob_rows, schema="sketch binary"))
+    folded = blobs.toPandas()
     acc = None
     for b in folded["sketch"]:
         sk = deserialize(bytes(b))

@@ -396,3 +396,102 @@ def sketch_quantiles(spark: SparkSession, df: DataFrame, value_col: str,
         rows = [(float(q), float(sk.rank_quantile(q) if rank
                                  else sk.quantile(q))) for q in qs]
     return spark.createDataFrame(rows, "q double, value double")
+
+
+def pcbf_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
+                         n_stages: int = 12, bf_p: int = 18, bf_nh: int = 4,
+                         hll_p: int = 12, seed: int = 137) -> DataFrame:
+    """pcbf multiplicity (reference include/cbf.h:115-160): distinct
+    keys annotated with the counting-Bloom-cascade estimate. Stage i's
+    filter holds the keys with count >= 2^i, so through the
+    pre-aggregate path at collision-free widths the probe returns
+    exactly ``2^floor(log2(count))`` — same strict oracle as cbf/cml;
+    the pcbf-specific per-stage HLL cardinalities are property-tested
+    (tests/test_siblings_round2b.py)."""
+    from sketchlib.sketches.pcbf import PCBF
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(PCBF, n_stages, bf_p, bf_nh, hll_p, seed),
+                      pre_aggregate=True)
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
+def vac_spectrum_frequency(spark: SparkSession, df: DataFrame, key_col: str,
+                           n_layers: int = 8, np_bits: int = 16,
+                           nh: int = 5, seed: int = 137) -> DataFrame:
+    """VAC multiplicity spectrum (reference include/vac.h:20-60):
+    (key, layer, est_count) for every distinct key and layer — layer i
+    sees the stream subsampled at rate 2^-i (deterministic weighted
+    form: weight >> i), so at collision-free width layer i's estimate
+    is exactly ``count >> i`` and the SQL oracle is strict."""
+    import uuid
+
+    from sketchlib.sketches.vac import VACSketch
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(VACSketch, n_layers, np_bits, nh, seed),
+                      pre_aggregate=True)
+    blob = sk.to_bytes()
+    b = spark.sparkContext.broadcast(blob)
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf("array<long>")
+    def spectrum(v: pd.Series) -> pd.Series:
+        vac = _cached_sketch(cache_key, b.value)
+        vals = v.to_numpy()
+        vals = (vals.view(np.uint64) if vals.dtype == np.int64
+                else vals.astype(np.uint64))
+        spec = vac.spectrum(vals)  # (n_layers, n)
+        return pd.Series(list(spec.T))
+
+    keys = hashed.distinct()
+    return (keys.withColumn("spec", spectrum(F.col("kh")))
+            .select("key", F.posexplode("spec").alias("layer", "est_count")))
+
+
+def swcm_trailing_frequency(spark: SparkSession, df: DataFrame,
+                            key_col: str, order_cols: list[str],
+                            window: int, np_bits: int = 16, nh: int = 5,
+                            seed: int = 137) -> DataFrame:
+    """Sliding-window CM (reference include/ccm.h:840-869): frequency
+    of every distinct key within the trailing ``window`` items of the
+    stream ordered by ``order_cols``.
+
+    The window is defined by ARRIVAL ORDER, so this is inherently a
+    single-stream gadget (the reference defines no merge); the kernel
+    consumes one sorted partition via Arrow-batched mapInPandas —
+    rows stream through an executor in order, nothing is collected to
+    the driver. The distributed analogs for cluster-scale windowing
+    are the event-time windowed sinks in sketchlib/streaming.py. At
+    collision-free width the deletion-exact ring buffer makes the
+    estimate exactly the trailing-window count => strict oracle."""
+    from sketchlib.sketches.swcm import SlidingWindowCM
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"),
+                       *[F.col(c) for c in order_cols])
+    stream = (hashed.select("kh", *order_cols)
+              .repartition(1).sortWithinPartitions(*order_cols))
+
+    def run(batches):
+        sk = SlidingWindowCM(window, np_bits, nh, seed)
+        seen: set[int] = set()
+        for b in batches:
+            vals = b["kh"].to_numpy()
+            vals = (vals.view(np.uint64) if vals.dtype == np.int64
+                    else vals.astype(np.uint64))
+            sk.update(vals)
+            seen.update(np.unique(vals).tolist())
+        arr = np.array(sorted(seen), dtype=np.uint64)
+        est = sk.estimate(arr)
+        yield pd.DataFrame({"kh": arr.view(np.int64),
+                            "est_count": est.astype(np.int64)})
+
+    out = stream.mapInPandas(run, "kh long, est_count long")
+    keys = hashed.select("key", "kh").distinct()
+    return keys.join(out, "kh").select("key", "est_count")

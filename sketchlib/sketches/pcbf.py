@@ -81,6 +81,9 @@ class PCBF:
         return np.where(depth > 0, 1 << np.maximum(depth - 1, 0), 0) \
             .astype(np.int64)
 
+    # broadcast-probe protocol name (sketchlib.queries._estimate_col)
+    estimate = est_count
+
     def stage_cardinalities(self) -> list[float]:
         """|{key : count >= 2^i}| estimate per stage (the pcbf
         addition over plain cbf)."""
