@@ -90,3 +90,28 @@ def test_hk_recount_broadcasts_topk(spark):
     plan = _plan(Q.heavy_hitters_hk(keyed, "hkey", 5, np_bits=8, nh=3))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pcbf_probe_is_broadcast_no_probe_shuffle(spark):
+    """The sibling point-frequency queries probe via a broadcast blob
+    inside one pandas UDF: the probe side must be a single projection
+    over the distinct-key aggregate — no join, no extra exchange
+    beyond the distinct's own."""
+    plan = _plan(E.queries()["pcbf_user_freq"](spark, SF))
+    assert "Join" not in plan  # broadcast-variable probe, not a join
+
+
+def test_vac_spectrum_single_scan_posexplode(spark):
+    plan = _plan(E.queries()["vac_user_spectrum"](spark, SF))
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "Join" not in plan
+
+
+def test_swcm_single_sorted_partition_shape(spark):
+    """SWCM is sequential by definition: the stream leg must show one
+    round-robin repartition(1) + in-partition sort, and the key
+    re-attach must broadcast (150 distinct users)."""
+    plan = _plan(E.queries()["swcm_recent_user_freq"](spark, SF))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "Sort " in plan
+    assert "SortMergeJoin" not in plan
