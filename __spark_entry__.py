@@ -652,6 +652,29 @@ def q_rnla_dot_embeddings(spark, sf_dir):
         rows, "id_a long, id_b long, dot double, within_bound boolean")
 
 
+def q_estimate_quality_cbf(spark, sf_dir):
+    """O19 error analysis (reference output/analysis.py:1-16) as a
+    driver query: violations / RMSE / Spearman of the cbf power-of-two
+    estimator vs exact per-user counts — an estimator BOTH engines can
+    compute exactly, so all three metrics are strict-gated (6-dp floor
+    on the two floats for cross-engine float stability)."""
+    import math as _m
+
+    from sketchlib.analysis import estimate_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    est = Q.cbf_point_frequency(spark, ev, "user_id")
+    exact = (ev.groupBy(F.col("user_id").alias("key"))
+             .agg(F.count("*").alias("true_count")))
+    m = estimate_metrics(est.join(exact, "key"),
+                         "true_count", "est_count")
+    return spark.createDataFrame(
+        [(m["n"], m["n_violations"],
+          _m.floor(m["rmse"] * 1e6) / 1e6,
+          _m.floor(m["spearman"] * 1e6) / 1e6)],
+        "n long, n_violations long, rmse double, spearman double")
+
+
 def q_distinct_tokens_per_lang(spark, sf_dir):
     """exact grouped distinct (oracle for the HLL sibling)."""
     docs = _t(spark, sf_dir, "documents")
@@ -937,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_siblings_langs": q_setsim_siblings_langs,
         "cws_weighted_sim_langs": q_cws_weighted_sim_langs,
         "rnla_dot_embeddings": q_rnla_dot_embeddings,
+        "estimate_quality_cbf": q_estimate_quality_cbf,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "hll_distinct_per_lang": q_hll_distinct_per_lang,
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
@@ -1276,6 +1300,24 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        floor(list_inner_product(a.v, b.v) * 1e6) / 1e6 AS dot,
        TRUE AS within_bound
 FROM base a JOIN base b ON a.vec_id < b.vec_id ORDER BY id_a, id_b""",
+        "estimate_quality_cbf": """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS t
+           FROM events GROUP BY 1),
+e AS (SELECT CAST(t AS DOUBLE) AS t,
+             CAST(power(2, CAST(floor(log2(t)) AS INT)) AS DOUBLE) AS est
+      FROM c),
+r AS (SELECT t, est,
+             rank() OVER (ORDER BY t)
+               + (COUNT(*) OVER (PARTITION BY t) - 1) / 2.0 AS rt,
+             rank() OVER (ORDER BY est)
+               + (COUNT(*) OVER (PARTITION BY est) - 1) / 2.0 AS re
+      FROM e)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN t > est THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       floor(sqrt(AVG((est - t) * (est - t))) * 1e6) / 1e6 AS rmse,
+       floor(corr(rt, re) * 1e6) / 1e6 AS spearman
+FROM r""",
         "bloom_member_custkeys": (
             "SELECT o_custkey, o_custkey IN "
             " (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "

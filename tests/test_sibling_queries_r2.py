@@ -108,3 +108,17 @@ def test_hbb_single_kernel_partition_no_lossy_merge(spark):
     dist = build_sketch(df.repartition(8), "kh", HyperBitBit,
                         kernel_partitions=1)
     assert 20_000 / 2.2 <= dist.estimate() <= 20_000 * 2.2
+
+
+def test_estimate_quality_metrics_query(spark):
+    """O19 analysis driver query: the power-of-two estimator
+    under-counts every non-power count (one-sided violations), ranks
+    stay highly correlated, rmse is positive and bounded by the max
+    halving error."""
+    r = E.q_estimate_quality_cbf(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n"] == n_users
+    assert 0 < r["n_violations"] <= r["n"]
+    assert 0 < r["rmse"]
+    assert 0.8 <= r["spearman"] <= 1.0
