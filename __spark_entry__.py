@@ -626,6 +626,8 @@ def q_rnla_dot_embeddings(spark, sf_dir):
     transforms (AMS sketch-and-dot); linearity + unbiasedness are
     property-tested, here the gate is the exact dot (SQL
     list_inner_product) + the 8*||a||*||b||/sqrt(d') two-sided band."""
+    import math as _m
+
     import numpy as _np
 
     from sketchlib.sketches.rnla import cs_transform_batch, dot
@@ -645,7 +647,6 @@ def q_rnla_dot_embeddings(spark, sf_dir):
                 est = dot(S[i], S[j])
                 band = (8 * _np.linalg.norm(vecs[ia])
                         * _np.linalg.norm(vecs[ib]) / _np.sqrt(1024))
-                import math as _m
                 rows.append((ia, ib, _m.floor(true * 1e6) / 1e6,
                              bool(abs(est - true) <= band)))
     return spark.createDataFrame(

@@ -122,3 +122,12 @@ def test_estimate_quality_metrics_query(spark):
     assert 0 < r["n_violations"] <= r["n"]
     assert 0 < r["rmse"]
     assert 0.8 <= r["spearman"] <= 1.0
+
+
+def test_driver_contract_oracle_completeness():
+    """Every queries() entry must carry an oracle_sql() entry (the
+    driver's correctness gate is only strict when nothing is left
+    rows-only), and vice versa."""
+    q = set(E.queries())
+    o = set(E.oracle_sql())
+    assert q == o, (q - o, o - q)
