@@ -464,7 +464,7 @@ def q_cardinality_siblings_shingles(spark, sf_dir):
     every flag."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_sketch
+    from sketchlib.aggregate import build_sketch, build_sketches_multi
     from sketchlib.sketches.gadgets import HyperBitBit, ModSketch
     from sketchlib.sketches.pcsa import PCSA
     from sketchlib.sketches.setsketch import SetSketch
@@ -472,20 +472,21 @@ def q_cardinality_siblings_shingles(spark, sf_dir):
     sh = _shingle_stream(spark, sf_dir)
     keys = sh.select("kh").distinct().cache()
     exact = keys.count()
-    factories = {
+    # the three mergeable gadgets share ONE scan (build_sketches_multi
+    # — the 100 TB shape: the scan dominates, pay it once for the
+    # whole panel); HyperBitBit is a single-stream gadget whose merge
+    # is a lossy heuristic (the reference defines none, hbb.h), so it
+    # runs as one sequential kernel where its factor band holds
+    sketches = build_sketches_multi(keys, "kh", {
         "pcsa": _p(PCSA, 256),
         "setsketch": _p(SetSketch, 12),
-        "hyperbitbit": _p(HyperBitBit,),
         "modsketch": _p(ModSketch, 64),
-    }
+    })
+    sketches["hyperbitbit"] = build_sketch(keys, "kh", HyperBitBit,
+                                           kernel_partitions=1)
     rows = []
     for name, _, band in _CARD_SIBLINGS:
-        # HyperBitBit is a single-stream gadget: its merge is a lossy
-        # heuristic (the reference defines none, hbb.h), so its
-        # documented factor band only holds for one sequential kernel
-        kp = 1 if name == "hyperbitbit" else None
-        sk = build_sketch(keys, "kh", factories[name],
-                          kernel_partitions=kp)
+        sk = sketches[name]
         est = float(sk.estimate() if hasattr(sk, "estimate")
                     else sk.cardinality())
         if name == "hyperbitbit":

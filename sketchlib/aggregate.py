@@ -228,3 +228,89 @@ def finalize_grouped(grouped: DataFrame, finalize: Callable[[object], object],
             yield out
 
     return grouped.mapInPandas(per_batch, schema=schema)
+
+
+def build_sketches_multi(df: DataFrame, col: str,
+                         factories: dict[str, Callable[[], object]],
+                         tree_width: int = 8, as_u64: bool = True,
+                         pre_aggregate: bool = False) -> dict[str, object]:
+    """Build SEVERAL named sketches over ``df[col]`` in ONE scan.
+
+    The 100 TB motivation: the scan is the expensive stage (BENCH/
+    BASELINE.md measures ~88% of build wall in scan/agg), and a user
+    who wants HLL + CM + Bloom + quantiles over the same key stream
+    should pay it once, not once per sketch. Each partition updates
+    every factory's partial from the same Arrow batches; partials
+    shuffle keyed by sketch name, so the fold stage is one task per
+    sketch and the driver folds ``tree_width`` blobs per name — the
+    same bounded fan-in as build_sketch, multiplied only by the number
+    of sketches.
+
+    ``pre_aggregate=True`` additionally collapses the stream to
+    (key, count) JVM-side first and requires every factory's sketch to
+    implement ``update_weighted`` (duplicate-sensitive counting
+    sketches); with ``False`` plain ``update`` is used (safe for any
+    sketch, required for multiplicity-insensitive ones only when fed
+    raw streams).
+
+    Returns {name: merged sketch}; for order-independent kernels
+    (every registered sketch except the strict conservative/offline
+    paths) results are bit-identical to independent build_sketch calls
+    per factory (tested).
+    """
+    from pyspark.sql import functions as F
+
+    names = sorted(factories)
+    if pre_aggregate:
+        src = (df.select(col).groupBy(col)
+               .agg(F.count("*").alias("__cnt")))
+    else:
+        src = df.select(col)
+
+    def partial_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vs, ws = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vs.append(_as_u64(pdf[col]) if as_u64 else pdf[col].to_numpy())
+            if pre_aggregate:
+                ws.append(pdf["__cnt"].to_numpy())
+        if not vs:
+            return
+        vals = np.concatenate(vs)
+        wts = np.concatenate(ws) if pre_aggregate else None
+        out_names, out_blobs = [], []
+        for name in names:
+            sk = factories[name]()
+            if pre_aggregate:
+                sk.update_weighted(vals, wts)
+            else:
+                sk.update(vals)
+            out_names.append(name)
+            out_blobs.append(sk.to_bytes())
+        yield pd.DataFrame({"name": out_names, "sketch": out_blobs})
+
+    def fold_named(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[str, object] = {}
+        for pdf in batches:
+            for name, b in zip(pdf["name"], pdf["sketch"]):
+                sk = deserialize(bytes(b))
+                accs[name] = sk if name not in accs \
+                    else accs[name].merge(sk)
+        if accs:
+            yield pd.DataFrame({
+                "name": list(accs),
+                "sketch": [s.to_bytes() for s in accs.values()]})
+
+    blobs = src.mapInPandas(partial_build, schema="name string, sketch binary")
+    folded = (blobs.repartition(tree_width * len(names), "name")
+              .mapInPandas(fold_named, schema="name string, sketch binary")
+              .toPandas())
+    out: dict[str, object] = {}
+    for name, b in zip(folded["name"], folded["sketch"]):
+        sk = deserialize(bytes(b))
+        out[name] = sk if name not in out else out[name].merge(sk)
+    missing = set(names) - set(out)
+    for name in missing:  # empty input
+        out[name] = factories[name]()
+    return out

@@ -131,3 +131,30 @@ def test_driver_contract_oracle_completeness():
     q = set(E.queries())
     o = set(E.oracle_sql())
     assert q == o, (q - o, o - q)
+
+
+def test_multi_sketch_build_bit_exact(spark):
+    """build_sketches_multi (one scan, N sketches) must be
+    bit-identical to independent build_sketch calls, on both the
+    plain and pre-aggregate paths."""
+    from functools import partial
+
+    from sketchlib.aggregate import build_sketch, build_sketches_multi
+    from sketchlib.sketches.cm import CMConfig, CountMin
+    from sketchlib.sketches.hll import HyperLogLog
+    from sketchlib.sketches.pcsa import PCSA
+
+    df = (spark.range(50_000)
+          .select(F.xxhash64((F.col("id") % 7000).cast("string"))
+                  .alias("kh")).repartition(8))
+    plain = {"hll": partial(HyperLogLog, 12), "pcsa": partial(PCSA, 64)}
+    multi = build_sketches_multi(df, "kh", plain)
+    for name, fac in plain.items():
+        assert multi[name].to_bytes() == \
+            build_sketch(df, "kh", fac).to_bytes(), name
+
+    cfg = CMConfig(np_bits=14, nh=3, seed=7, conservative=False)
+    counting = {"cm": partial(CountMin, cfg)}
+    multi_w = build_sketches_multi(df, "kh", counting, pre_aggregate=True)
+    assert multi_w["cm"].to_bytes() == build_sketch(
+        df, "kh", counting["cm"], pre_aggregate=True).to_bytes()
