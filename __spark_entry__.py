@@ -700,11 +700,14 @@ def q_bloom_member_custkeys(spark, sf_dir):
 
 
 def q_kll_quantiles_price(spark, sf_dir):
-    """L13/KLL in its exact regime (capacity >= n at sf<=0.01):
-    quantile q = smallest value with rank >= ceil(q*n)."""
+    """L13/KLL in its exact regime (capacity >= n BY CONSTRUCTION, so
+    no compaction ever fires and quantile q = smallest value with
+    rank >= ceil(q*n) at any test sf; the compacting approximate
+    regime is property-tested in tests/)."""
     li = _t(spark, sf_dir, "lineitem")
+    k = max(1 << 17, li.count() + 1)
     return Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
-                              kind="kll", k=1 << 17)
+                              kind="kll", k=k)
 
 
 def q_ddsketch_quantiles_price(spark, sf_dir):
@@ -717,7 +720,7 @@ def q_ddsketch_quantiles_price(spark, sf_dir):
     so the flag is a hard gate)."""
     li = _t(spark, sf_dir, "lineitem")
     exact = Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
-                               kind="kll", k=1 << 17)
+                               kind="kll", k=max(1 << 17, li.count() + 1))
     dd = (Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
                              kind="dd", alpha=0.01, max_bins=4096,
                              pre_aggregate=True)
