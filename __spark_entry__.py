@@ -91,6 +91,23 @@ def q_cm_conservative_user_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def q_cmm_user_freq(spark, sf_dir):
+    """L5 count-mean-min (reference include/ccm.h:822-837 declares it
+    but the ctor throws NotImplementedError; implemented from Deng &
+    Rafiei CIKM'07). Strict gate: at collision-free width every row
+    cell equals the true count, so the median-of-corrected-rows
+    estimate is exactly ``cnt - (N - cnt) / (w - 1)`` clamped into
+    ``[0, cnt]`` — reproducible in SQL; floored at 1e-6 on both sides
+    for hash stability."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=18, nh=5, seed=137, conservative=False)
+    est = Q.cmm_point_frequency(spark, ev, "user_id", cfg)
+    return (est.select("key",
+                       (F.floor(F.col("est_cmm") * 1e6) / 1e6)
+                       .alias("est_cmm"))
+            .orderBy("key"))
+
+
 def q_occm_user_freq(spark, sf_dir):
     """O9-O16 flagship: 3-round offline conservative CM (OCCM)."""
     ev = _t(spark, sf_dir, "events")
@@ -944,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
+        "cmm_user_freq": q_cmm_user_freq,
         "occm_user_freq": q_occm_user_freq,
         "countsketch_event_freq": q_countsketch_event_freq,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -1138,6 +1156,13 @@ FROM s GROUP BY kind ORDER BY kind"""
         "occm_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "cmm_user_freq": (
+            "WITH c AS (SELECT user_id AS key, "
+            "CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM events) "
+            "SELECT key, floor(least(greatest("
+            "cnt - (n - cnt) / 262143.0, 0.0), cnt) * 1e6) / 1e6 "
+            "AS est_cmm FROM c, t ORDER BY key"),
         "countsketch_event_freq": (
             "SELECT event_type AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),

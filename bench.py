@@ -69,6 +69,7 @@ def main() -> int:
                  "occm_user_freq", "heavy_hitter_tokens",
                  "heavy_hitter_events_hk", "cm_intersect_user_freq",
                  "cbf_user_freq", "cml_user_freq", "cs4w_user_freq",
+                 "cmm_user_freq",
                  "wmh_weighted_jaccard_langs", "filterhll_repeated_shingles",
                  "pcbf_user_freq", "vac_user_spectrum",
                  "swcm_recent_user_freq", "cardinality_siblings_shingles",

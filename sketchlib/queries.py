@@ -80,6 +80,37 @@ def cm_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
     return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
 
 
+def cmm_point_frequency(spark: SparkSession, df: DataFrame, key_col: str,
+                        cfg: CMConfig) -> DataFrame:
+    """Distinct keys annotated with count-mean-min estimates (L5,
+    reference include/ccm.h:822-837 — unfinished there, implemented
+    from the Deng & Rafiei 2007 paper). Builds a *plain* CM core
+    (the estimator's noise model assumes every update hits every
+    row exactly once) and probes with the median-of-corrected-rows
+    estimator; output is a double column ``est_cmm``."""
+    import uuid
+
+    cfg = CMConfig(cfg.np_bits, cfg.nh, cfg.seed, conservative=False)
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh", partial(CountMin, cfg),
+                      pre_aggregate=True)
+    blob = sk.to_bytes()
+    b = spark.sparkContext.broadcast(blob)
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf("double")
+    def est(v: pd.Series) -> pd.Series:
+        s = _cached_sketch(cache_key, b.value)
+        vals = v.to_numpy()
+        vals = vals.view(np.uint64) if vals.dtype == np.int64 else vals.astype(np.uint64)
+        return pd.Series(s.estimate_mean_min(vals))
+
+    return (hashed.distinct()
+            .withColumn("est_cmm", est(F.col("kh")))
+            .select("key", "est_cmm"))
+
+
 def countsketch_point_frequency(spark: SparkSession, df: DataFrame,
                                 key_col: str, np_bits: int = 16,
                                 nh: int = 5, seed: int = 137) -> DataFrame:

@@ -246,6 +246,34 @@ class CountMin:
         rows = np.arange(self.core.shape[0])[:, None]
         return self.core[rows, cols.astype(np.int64)].min(axis=0)
 
+    def estimate_mean_min(self, vals: np.ndarray) -> np.ndarray:
+        """Count-mean-min point estimate (L5).
+
+        The vendored library declares this sketch but never finished
+        it — the reference ``cmmbase_t`` constructor throws
+        ``NotImplementedError`` (reference: include/ccm.h:822-837) —
+        so semantics here follow the published algorithm (Deng &
+        Rafiei, CIKM 2007, "New estimation algorithms for streaming
+        data: count-min can do more"): per row subtract the expected
+        collision noise ``(N - cell) / (w - 1)`` where ``N`` is the
+        total update count (recovered exactly as any row's sum — every
+        plain update increments each row once), take the median over
+        the (odd) row count, and clamp into ``[0, CM-min]``. Unbiased
+        where plain CM is one-sided; intended for plain (non-
+        conservative) cores.
+        """
+        vals = np.asarray(vals, dtype=_U64)
+        if vals.size == 0:
+            return np.empty(0, dtype=np.float64)
+        cols = row_positions(vals, self.seeds, self.config.np_bits)
+        rows = np.arange(self.core.shape[0])[:, None]
+        cells = self.core[rows, cols.astype(np.int64)].astype(np.float64)
+        n_total = self.core.sum(axis=1).astype(np.float64)[:, None]
+        w = float(self.config.width)
+        corrected = cells - (n_total - cells) / (w - 1.0)
+        med = np.median(corrected, axis=0)
+        return np.clip(med, 0.0, cells.min(axis=0))
+
     # -------------------------------------------------------------- merge
     def merge(self, other: "CountMin") -> "CountMin":
         assert self.config == other.config
