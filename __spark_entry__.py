@@ -254,10 +254,12 @@ def q_filterhll_repeated_shingles(spark, sf_dir):
     in >= 2 documents; (exact, within_bound) gate like the other HLL
     queries."""
     docs = _t(spark, sf_dir, "documents")
-    sh = D.shingles(docs)  # distinct (doc_id, shingle)
+    # one shingle scan feeds both the sketch build and the exact gate
+    sh = D.shingles(docs).cache()  # distinct (doc_id, shingle)
     est = Q.filterhll_repeated_distinct(spark, sh, "shingle", threshold=2)
     exact = (sh.groupBy("shingle").agg(F.count("*").alias("n"))
              .filter(F.col("n") >= 2).count())
+    sh.unpersist()
     ok = abs(est - exact) <= _HLL_BOUND * max(exact, 1)
     return spark.createDataFrame([(int(exact), bool(ok))],
                                  "n_repeated long, within_bound boolean")
