@@ -871,6 +871,22 @@ def q_ann_lsh_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file cluster-probe) ANN posed with the same
+    recall-guaranteed construction as the SRP query: cosine is
+    scale-invariant, so each query's power-of-two scaled copies share
+    its coarse-cell assignment bit-exactly (sketchlib/ann.py
+    ivf_assign), and probing the query's own top-1 cell — nprobe=1,
+    the genuinely approximate regime — finds all five true neighbors.
+    The exact top-k oracle is therefore a strict gate over the full
+    IVF machinery (train, assign, probe, rerank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = _ann_lsh_corpus(emb)
+    qs = corpus.filter(F.col("vec_id") < 10)
+    return (A.ann_topk_ivf(corpus, qs, k=5, nlist=8, nprobe=1, iters=3)
+            .orderBy("query_id", "rank"))
+
+
 def q_lang_id(spark, sf_dir):
     return TS.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1002,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1372,6 +1389,10 @@ FROM r""",
             f"FROM {_TOKENS_SQL} tk JOIN documents d USING (doc_id) "
             "GROUP BY d.lang ORDER BY d.lang"),
         "ann_lsh_topk": ann_lsh_sql,
+        # identical exact-top-k oracle: the IVF query uses the same
+        # recall-guaranteed scaled-copy corpus, so the true top-5 is
+        # the same and the oracle SQL is shared verbatim
+        "ann_ivf_topk": ann_lsh_sql,
         "multimodal_features": multimodal_sql,
         "dedup_exact": (
             "SELECT md5(lower(text)) AS fingerprint, COUNT(*) AS n_dups, "

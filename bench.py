@@ -82,6 +82,7 @@ def main() -> int:
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
                  "dedup_embedding_lsh", "simhash_fingerprints",
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
+                 "ann_ivf_topk",
                  "lang_id", "quality_score", "multimodal_features",
                  "pricing_summary", "top_customers_window",
                  "user_sessions"]:
