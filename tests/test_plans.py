@@ -80,6 +80,23 @@ def test_embedding_lsh_candidates_carry_ids_only(spark):
     assert "va" not in m.group(1) and "vb" not in m.group(1)
 
 
+def test_ivf_candidates_carry_ids_only_and_broadcast_queries(spark):
+    """The IVF candidate equi-join on coarse cell and the pair dedup
+    carry ids only; the exact re-rank broadcasts the query vectors."""
+    from sketchlib import ann as A
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    qs = emb.filter(F.col("vec_id") < 3)
+    cents = A.ivf_train(emb, nlist=4, iters=1)
+    plan = _plan(A.ann_topk_ivf(emb, qs, k=3, nprobe=2, centroids=cents))
+    import re
+    m = re.search(r"Keys \[\d+\]: \[([^\]]*query_id[^\]]*)\]", plan)
+    assert m, plan[:800]
+    assert "embedding" not in m.group(1) and " v#" not in m.group(1)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_hk_recount_broadcasts_topk(spark):
     """heavy_hitters_hk's exact recount joins the scan against the
     k selected keys via broadcast, never a shuffle join."""
