@@ -8,12 +8,20 @@ DataFrame job instead of a driver-side pandas pass:
 - Spearman rank correlation: Pearson correlation of the two rank
   columns (average-rank ties), computed with window ranks + ``corr``.
 
-Scale note: the global ``Window.orderBy`` rank stage funnels the whole
-RESULT table through one task (Spark's documented behavior for an
-unpartitioned window). That is acceptable here by design — the input
-is a query-result table (thousands to millions of rows), not the raw
-corpus; for corpus-sized rank correlation, replace the window rank
-with a sort + ``zipWithIndex``-style distributed ranking.
+Two rank strategies:
+
+- default (``scalable=False``): global ``Window.orderBy`` rank — one
+  task holds the whole result table. Fine for query-result-sized
+  inputs (thousands to millions of rows), lowest overhead.
+- ``scalable=True``: distributed average-rank. Ranks are a function
+  of the VALUE only, so we rank the ``groupBy(value).count()`` table
+  (|distinct| rows), range-partition it by value, take per-partition
+  cumulative row counts, and fix up with per-partition offsets — the
+  only driver-side data is one (partition, total) row per range
+  partition. No stage ever holds more than one range partition of
+  the distinct-value table; rows join their value's rank back by a
+  hash join on the value. Identical output to the window path
+  (tested), usable at corpus scale.
 """
 
 from __future__ import annotations
@@ -21,22 +29,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def avg_ranks(df: DataFrame, col: str, n_ranges: int = 64) -> DataFrame:
+    """Distributed average rank (ties share their mean rank) of each
+    DISTINCT value of ``col``: returns a ``(col, rank)`` DataFrame with
+    one row per distinct value.
+
+    Plan shape: hash-agg to (value, count) — |distinct| rows — then
+    ``repartitionByRange`` on value so partition ids ascend with value
+    ranges, per-partition running row counts via a window PARTITIONED
+    by ``spark_partition_id()`` (never a global single-task window),
+    and a broadcast join of per-partition offsets (one scalar per
+    range partition, the only thing collected). avg rank of a value
+    with multiplicity c whose predecessors cover r rows is
+    r + (c + 1) / 2.
+    """
+    spark = df.sparkSession
+    g = (df.groupBy(F.col(col).alias("v"))
+           .agg(F.count("*").alias("c"))
+           .repartitionByRange(n_ranges, F.col("v"))
+           .withColumn("pid", F.spark_partition_id())
+           .withColumn("cum", F.sum("c").over(
+               Window.partitionBy("pid").orderBy("v")))
+           .persist())
+    # one row per non-empty range partition; sort by the partition's
+    # value range (not pid) so the offsets are order-correct even if
+    # the partitioner's id assignment ever changed
+    totals = sorted(
+        g.groupBy("pid").agg(F.max("cum").alias("tot"),
+                             F.min("v").alias("lo")).collect(),
+        key=lambda r: r["lo"])
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["pid"], acc))
+        acc += r["tot"]
+    off = spark.createDataFrame(offsets, "pid int, off bigint")
+    return (g.join(F.broadcast(off), "pid")
+             .select(F.col("v").alias(col),
+                     (F.col("off") + F.col("cum") - F.col("c")
+                      + (F.col("c") + 1) / 2.0).alias("rank")))
+
+
 def estimate_metrics(df: DataFrame, true_col: str = "true_count",
-                     est_col: str = "estimated_count") -> dict:
+                     est_col: str = "estimated_count",
+                     scalable: bool = False) -> dict:
     """Returns {n, n_violations, rmse, spearman} for a result table of
     (…, true_col, est_col) rows — analysis.py's three checks."""
 
-    def avg_rank(col: str):
-        # average rank for ties == (rank + (count_in_tie - 1) / 2)
-        w_rank = Window.orderBy(F.col(col))
-        w_tie = Window.partitionBy(F.col(col))
-        return (F.rank().over(w_rank)
-                + (F.count("*").over(w_tie) - 1) / 2.0)
+    pairs = df.select(F.col(true_col).cast("double").alias("t"),
+                      F.col(est_col).cast("double").alias("e"))
+    if scalable:
+        rt = avg_ranks(pairs, "t").withColumnRenamed("rank", "rt")
+        re_ = avg_ranks(pairs, "e").withColumnRenamed("rank", "re")
+        ranked = pairs.join(rt, "t").join(re_, "e")
+    else:
+        def avg_rank(col: str):
+            # average rank for ties == (rank + (count_in_tie - 1) / 2)
+            w_rank = Window.orderBy(F.col(col))
+            w_tie = Window.partitionBy(F.col(col))
+            return (F.rank().over(w_rank)
+                    + (F.count("*").over(w_tie) - 1) / 2.0)
 
-    ranked = df.select(
-        F.col(true_col).cast("double").alias("t"),
-        F.col(est_col).cast("double").alias("e"),
-    ).withColumn("rt", avg_rank("t")).withColumn("re", avg_rank("e"))
+        ranked = (pairs.withColumn("rt", avg_rank("t"))
+                       .withColumn("re", avg_rank("e")))
 
     row = ranked.agg(
         F.count("*").alias("n"),

@@ -20,11 +20,17 @@ Usage (spark-submit --py-files sketchlib.zip -m sketchlib.cli ...):
   query:
     python -m sketchlib.cli query -f sketch.bin -q queries.txt \
         -o result.csv [-k 22]
+  analyze (the reference's ``python output/analysis.py`` step):
+    python -m sketchlib.cli analyze -i result.csv [--scalable]
 
 Query files are the reference's whitespace format ``key true_count``
 (main.cpp:121-132); with ``-k`` the key is 2-bit-encoded as a k-mer
 (forward strand only, main.cpp:131), otherwise it is hashed like a
-transcript token.
+transcript token. ``analyze`` consumes the query CSV (the same file
+the reference's output/analysis.py:1-16 reads) and prints one JSON
+line ``{"n", "n_violations", "rmse", "spearman"}``; ``--scalable``
+switches Spearman ranking to the distributed range-partitioned path
+for corpus-sized result tables (sketchlib/analysis.py).
 """
 
 from __future__ import annotations
@@ -70,6 +76,14 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--namespace", choices=["word", "tool", "role"],
                    default="word",
                    help="token namespace for non-kmer keys")
+
+    a = sub.add_parser("analyze",
+                       help="metrics over a query CSV (analysis.py)")
+    a.add_argument("-i", "--input", required=True,
+                   help="query result CSV (kmer,true_count,estimated_count)")
+    a.add_argument("--scalable", action="store_true",
+                   help="distributed ranking (corpus-sized inputs)")
+    a.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -178,8 +192,31 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from sketchlib.analysis import estimate_metrics
+    from sketchlib.session import get_spark
+
+    # getOrCreate may hand back a live session (e.g. the test
+    # harness's); only stop what this command itself created
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark("sketchlib-analyze", cpus=args.cpus)
+    df = spark.read.csv(args.input, header=True, schema=(
+        "kmer string, true_count bigint, estimated_count bigint"))
+    m = estimate_metrics(df, scalable=args.scalable)
+    print(json.dumps(m, sort_keys=True))
+    if owned:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.mode == "analyze":
+        return cmd_analyze(args)
     return cmd_count(args) if args.mode == "count" else cmd_query(args)
 
 

@@ -28,6 +28,34 @@ def test_metrics_match_pandas(spark):
     assert abs(m["spearman"] - spearman) < 1e-9
 
 
+def test_scalable_ranks_match_window_path(spark):
+    """The distributed-rank path must reproduce the window path
+    exactly — heavy ties + Zipf skew so range partitions are uneven
+    and tie groups straddle values."""
+    rng = np.random.default_rng(17)
+    true = rng.zipf(1.5, 3000).clip(max=2000)   # skewed, many ties
+    est = true + rng.integers(0, 5, 3000)
+    pdf = pd.DataFrame({"true_count": true.astype(int),
+                        "estimated_count": est.astype(int)})
+    df = spark.createDataFrame(pdf).repartition(7)
+
+    base = estimate_metrics(df)
+    scal = estimate_metrics(df, scalable=True)
+    assert scal["n"] == base["n"]
+    assert scal["n_violations"] == base["n_violations"]
+    assert abs(scal["rmse"] - base["rmse"]) < 1e-9
+    assert abs(scal["spearman"] - base["spearman"]) < 1e-12
+
+    # rank table itself: one row per distinct value, mean-tie ranks
+    from sketchlib.analysis import avg_ranks
+    rt = {r["t"]: r["rank"] for r in
+          avg_ranks(df.selectExpr("cast(true_count as double) t"),
+                    "t", n_ranges=5).collect()}
+    expected = pd.Series(true).rank(method="average")
+    for v, grp in pd.Series(true).groupby(pd.Series(true)):
+        assert abs(rt[float(v)] - expected[grp.index].iloc[0]) < 1e-9
+
+
 def test_metrics_on_reference_golden_query_csv(spark):
     """Run the metrics job on the committed golden query output — the
     same file the reference's analysis.py would consume."""

@@ -53,3 +53,25 @@ def test_cli_rejects_non_power_of_two_width(tmp_path):
     with pytest.raises(SystemExit):
         main(["count", "--fa", FA, "-w", "1000",
               "-o", str(tmp_path / "x.bin")])
+
+
+def test_cli_analyze_matches_library_metrics(spark, capsys):
+    """``analyze`` (the reference's output/analysis.py step) on the
+    committed golden query CSV: JSON line == estimate_metrics, and the
+    --scalable rank path agrees."""
+    import json
+    import os
+
+    from sketchlib.analysis import estimate_metrics
+
+    fix = os.path.join(FIX, "golden_occm_n4_w1024_q.csv")
+    expected = estimate_metrics(
+        spark.read.option("header", True).csv(fix))
+
+    for flag in ([], ["--scalable"]):
+        assert main(["analyze", "-i", fix] + flag) == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["n"] == expected["n"]
+        assert got["n_violations"] == expected["n_violations"]
+        assert abs(got["rmse"] - expected["rmse"]) < 1e-9
+        assert abs(got["spearman"] - expected["spearman"]) < 1e-9
