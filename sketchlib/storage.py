@@ -1,0 +1,54 @@
+"""Bucketed table layout — the write-once / join-many scale lever.
+
+At the 100 TB design point the corpus tables (transcripts, documents,
+events) are written once and then re-joined and re-grouped on their
+keys by every downstream job: dedup verify joins on doc id, grouped
+sketch builds on lang/user, query joins on token. Each of those pays
+a full shuffle of the big table — unless the table is STORED
+hash-clustered on its key. Spark's bucketed parquet tables
+(``bucketBy`` + ``sortBy`` via ``saveAsTable``) persist exactly that
+layout: the scan reports its bucket spec to Catalyst, which then
+plans joins and aggregations on the bucket key with NO shuffle
+exchange on the bucketed side (and no sort when buckets are written
+sorted, one file per bucket). The shuffle is paid once at write time
+and amortized over every subsequent read.
+
+The reference has no analog (single-node, one input file) — this is
+pure Spark-native layout control; see tests/test_storage.py for the
+plan-shape proof (zero ``Exchange hashpartitioning`` on bucketed
+join + groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 64, sort: bool = True,
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist ``df`` as a parquet table bucketed (and by default
+    sorted) by ``key``.
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same
+    Murmur3 hash as the bucket spec, so every task holds exactly one
+    bucket and each bucket lands in ONE file — the layout Catalyst
+    needs to also elide the sort on bucket-key joins. With ``path``
+    the table is external (data at ``path``, only metadata in the
+    session catalog); without it, data goes to the warehouse dir.
+    """
+    w = (df.repartition(n_buckets, F.col(key))
+           .write.format("parquet").mode(mode)
+           .bucketBy(n_buckets, key))
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — the bucket spec rides along, so downstream
+    joins/aggs on the bucket key plan shuffle-free."""
+    return spark.table(table)
