@@ -75,8 +75,14 @@ def estimate_metrics(df: DataFrame, true_col: str = "true_count",
     """Returns {n, n_violations, rmse, spearman} for a result table of
     (…, true_col, est_col) rows — analysis.py's three checks."""
 
-    pairs = df.select(F.col(true_col).cast("double").alias("t"),
-                      F.col(est_col).cast("double").alias("e"))
+    # rows where either metric is null/unparseable (e.g. a malformed
+    # CSV line) carry no information and would poison RMSE with NaN
+    # (and the rank-offset collect in the scalable path) — drop them
+    # up front so both rank strategies see the same clean pairs, and
+    # ``n`` counts rows actually analyzed
+    pairs = (df.select(F.col(true_col).cast("double").alias("t"),
+                       F.col(est_col).cast("double").alias("e"))
+               .filter(F.col("t").isNotNull() & F.col("e").isNotNull()))
     if scalable:
         rt = avg_ranks(pairs, "t").withColumnRenamed("rank", "rt")
         re_ = avg_ranks(pairs, "e").withColumnRenamed("rank", "re")

@@ -69,3 +69,17 @@ def test_metrics_on_reference_golden_query_csv(spark):
     # violations exist vs this file — the documented reference gotcha
     assert m["n_violations"] > 0
     assert 0 < m["spearman"] <= 1
+
+
+def test_null_and_unparseable_rows_are_dropped(spark):
+    """A malformed/missing metric value must not poison RMSE (NaN) or
+    crash the scalable rank path — both paths drop it and report the
+    same n over the clean rows."""
+    df = spark.createDataFrame(
+        [("a", 5, 4), ("b", None, 2), ("c", 5, None), ("d", 2, 2)],
+        "kmer string, true_count int, estimated_count int")
+    for scalable in (False, True):
+        m = estimate_metrics(df, scalable=scalable)
+        assert m["n"] == 2
+        assert m["n_violations"] == 1       # (5, 4): true > est
+        assert m["rmse"] == m["rmse"]       # not NaN
