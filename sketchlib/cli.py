@@ -22,6 +22,9 @@ Usage (spark-submit --py-files sketchlib.zip -m sketchlib.cli ...):
         -o result.csv [-k 22]
   analyze (the reference's ``python output/analysis.py`` step):
     python -m sketchlib.cli analyze -i result.csv [--scalable]
+  ingest (bucketed layout for write-once/join-many corpus tables):
+    python -m sketchlib.cli ingest --parquet src/ --table docs \
+        --key doc_id --buckets 512 [--path dst/]
 
 Query files are the reference's whitespace format ``key true_count``
 (main.cpp:121-132); with ``-k`` the key is 2-bit-encoded as a k-mer
@@ -84,6 +87,15 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("--scalable", action="store_true",
                    help="distributed ranking (corpus-sized inputs)")
     a.add_argument("--cpus", type=int, default=None)
+
+    i = sub.add_parser("ingest",
+                       help="persist a table bucketed on its key")
+    i.add_argument("--parquet", required=True, help="source parquet")
+    i.add_argument("--table", required=True, help="catalog table name")
+    i.add_argument("--key", required=True, help="bucket/sort key column")
+    i.add_argument("--buckets", type=int, default=64)
+    i.add_argument("--path", help="external table location")
+    i.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -213,10 +225,29 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from sketchlib.session import get_spark
+    from sketchlib.storage import write_bucketed
+
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark("sketchlib-ingest", cpus=args.cpus)
+    write_bucketed(spark.read.parquet(args.parquet), args.table,
+                   args.key, n_buckets=args.buckets, path=args.path)
+    print(f"wrote table {args.table} bucketed by {args.key} "
+          f"x{args.buckets}")
+    if owned:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.mode == "analyze":
         return cmd_analyze(args)
+    if args.mode == "ingest":
+        return cmd_ingest(args)
     return cmd_count(args) if args.mode == "count" else cmd_query(args)
 
 

@@ -15,8 +15,15 @@ and amortized over every subsequent read.
 
 The reference has no analog (single-node, one input file) — this is
 pure Spark-native layout control; see tests/test_storage.py for the
-plan-shape proof (zero ``Exchange hashpartitioning`` on bucketed
-join + groupBy).
+plan-shape proof (zero shuffle exchanges on bucketed join + groupBy).
+
+Catalog caveat: the bucket spec lives in the table CATALOG entry, not
+the parquet files — reading the ``path`` back with
+``spark.read.parquet`` yields the rows but not the layout. On a
+cluster the session is backed by a shared metastore (Hive/Glue/
+Unity), so tables ingested once are bucketed for every later job; in
+this sandbox's default in-memory catalog the entry lives for the
+session, which is what the tests exercise.
 """
 
 from __future__ import annotations

@@ -75,3 +75,24 @@ def test_cli_analyze_matches_library_metrics(spark, capsys):
         assert got["n_violations"] == expected["n_violations"]
         assert abs(got["rmse"] - expected["rmse"]) < 1e-9
         assert abs(got["spearman"] - expected["spearman"]) < 1e-9
+
+
+def test_cli_ingest_writes_bucketed_table(spark, tmp_path):
+    """``ingest`` persists the bucketed layout: the resulting table's
+    self-join on the bucket key plans with zero shuffle exchanges."""
+    import re
+
+    assert main(["ingest", "--parquet",
+                 "/root/testdata/sf0.001/documents.parquet",
+                 "--table", "cli_docs", "--key", "doc_id",
+                 "--buckets", "4", "--path", str(tmp_path / "cli_docs")]) == 0
+    try:
+        t = spark.table("cli_docs")
+        j = (t.select("doc_id", "lang").hint("merge")
+             .join(t.select("doc_id", "source"), "doc_id"))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert not re.findall(r"\(\d+\) Exchange\b", plan)
+        assert j.count() == t.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_docs")
