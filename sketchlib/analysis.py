@@ -29,20 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def avg_ranks(df: DataFrame, col: str, n_ranges: int = 64) -> DataFrame:
-    """Distributed average rank (ties share their mean rank) of each
-    DISTINCT value of ``col``: returns a ``(col, rank)`` DataFrame with
-    one row per distinct value.
-
-    Plan shape: hash-agg to (value, count) — |distinct| rows — then
-    ``repartitionByRange`` on value so partition ids ascend with value
-    ranges, per-partition running row counts via a window PARTITIONED
-    by ``spark_partition_id()`` (never a global single-task window),
-    and a broadcast join of per-partition offsets (one scalar per
-    range partition, the only thing collected). avg rank of a value
-    with multiplicity c whose predecessors cover r rows is
-    r + (c + 1) / 2.
-    """
+def _avg_ranks(df: DataFrame, col: str,
+               n_ranges: int = 64) -> tuple[DataFrame, DataFrame]:
+    """Internal form of :func:`avg_ranks` that also returns the
+    persisted intermediate so the caller can unpersist it once the
+    ranks have been consumed."""
     spark = df.sparkSession
     g = (df.groupBy(F.col(col).alias("v"))
            .agg(F.count("*").alias("c"))
@@ -63,30 +54,61 @@ def avg_ranks(df: DataFrame, col: str, n_ranges: int = 64) -> DataFrame:
         offsets.append((r["pid"], acc))
         acc += r["tot"]
     off = spark.createDataFrame(offsets, "pid int, off bigint")
-    return (g.join(F.broadcast(off), "pid")
-             .select(F.col("v").alias(col),
-                     (F.col("off") + F.col("cum") - F.col("c")
-                      + (F.col("c") + 1) / 2.0).alias("rank")))
+    ranks = (g.join(F.broadcast(off), "pid")
+              .select(F.col("v").alias(col),
+                      (F.col("off") + F.col("cum") - F.col("c")
+                       + (F.col("c") + 1) / 2.0).alias("rank")))
+    return ranks, g
+
+
+def avg_ranks(df: DataFrame, col: str, n_ranges: int = 64) -> DataFrame:
+    """Distributed average rank (ties share their mean rank) of each
+    DISTINCT value of ``col``: returns a ``(col, rank)`` DataFrame with
+    one row per distinct value. ``col`` must be null- and NaN-free
+    (the per-partition offset ordering is undefined under NaN).
+
+    Plan shape: hash-agg to (value, count) — |distinct| rows — then
+    ``repartitionByRange`` on value so partition ids ascend with value
+    ranges, per-partition running row counts via a window PARTITIONED
+    by ``spark_partition_id()`` (never a global single-task window),
+    and a broadcast join of per-partition offsets (one scalar per
+    range partition, the only thing collected). avg rank of a value
+    with multiplicity c whose predecessors cover r rows is
+    r + (c + 1) / 2.
+
+    Caches a |distinct|-row table for the lifetime of the returned
+    DataFrame; :func:`estimate_metrics` manages that lifecycle —
+    long-lived callers using this directly should prefer it.
+    """
+    ranks, _g = _avg_ranks(df, col, n_ranges)
+    return ranks
 
 
 def estimate_metrics(df: DataFrame, true_col: str = "true_count",
                      est_col: str = "estimated_count",
                      scalable: bool = False) -> dict:
     """Returns {n, n_violations, rmse, spearman} for a result table of
-    (…, true_col, est_col) rows — analysis.py's three checks."""
+    (…, true_col, est_col) rows — analysis.py's three checks.
 
-    # rows where either metric is null/unparseable (e.g. a malformed
-    # CSV line) carry no information and would poison RMSE with NaN
-    # (and the rank-offset collect in the scalable path) — drop them
+    With no analyzable rows, returns n=0 and None metrics; ``spearman``
+    is also None when undefined (constant column ⇒ corr is null)."""
+
+    # rows where either metric is null/NaN/unparseable (e.g. a
+    # malformed CSV line) carry no information and would poison RMSE
+    # (and the rank-offset ordering in the scalable path) — drop them
     # up front so both rank strategies see the same clean pairs, and
     # ``n`` counts rows actually analyzed
     pairs = (df.select(F.col(true_col).cast("double").alias("t"),
                        F.col(est_col).cast("double").alias("e"))
-               .filter(F.col("t").isNotNull() & F.col("e").isNotNull()))
+               .filter(F.col("t").isNotNull() & F.col("e").isNotNull()
+                       & ~F.isnan("t") & ~F.isnan("e")))
+    cached = []
     if scalable:
-        rt = avg_ranks(pairs, "t").withColumnRenamed("rank", "rt")
-        re_ = avg_ranks(pairs, "e").withColumnRenamed("rank", "re")
-        ranked = pairs.join(rt, "t").join(re_, "e")
+        rt, g1 = _avg_ranks(pairs, "t")
+        re_, g2 = _avg_ranks(pairs, "e")
+        cached = [g1, g2]
+        ranked = (pairs.join(rt.withColumnRenamed("rank", "rt"), "t")
+                       .join(re_.withColumnRenamed("rank", "re"), "e"))
     else:
         def avg_rank(col: str):
             # average rank for ties == (rank + (count_in_tie - 1) / 2)
@@ -105,7 +127,11 @@ def estimate_metrics(df: DataFrame, true_col: str = "true_count",
         F.sqrt(F.avg((F.col("e") - F.col("t")) ** 2)).alias("rmse"),
         F.corr("rt", "re").alias("spearman"),
     ).collect()[0]
-    return {"n": int(row["n"]),
-            "n_violations": int(row["n_violations"]),
-            "rmse": float(row["rmse"]),
-            "spearman": float(row["spearman"])}
+    for g in cached:
+        g.unpersist()
+    n = int(row["n"])
+    return {"n": n,
+            "n_violations": int(row["n_violations"]) if n else 0,
+            "rmse": float(row["rmse"]) if row["rmse"] is not None else None,
+            "spearman": (float(row["spearman"])
+                         if row["spearman"] is not None else None)}

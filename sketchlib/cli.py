@@ -207,38 +207,26 @@ def cmd_query(args) -> int:
 def cmd_analyze(args) -> int:
     import json
 
-    from pyspark.sql import SparkSession
-
     from sketchlib.analysis import estimate_metrics
-    from sketchlib.session import get_spark
+    from sketchlib.session import borrowed_spark
 
-    # getOrCreate may hand back a live session (e.g. the test
-    # harness's); only stop what this command itself created
-    owned = SparkSession.getActiveSession() is None
-    spark = get_spark("sketchlib-analyze", cpus=args.cpus)
-    df = spark.read.csv(args.input, header=True, schema=(
-        "kmer string, true_count bigint, estimated_count bigint"))
-    m = estimate_metrics(df, scalable=args.scalable)
+    with borrowed_spark("sketchlib-analyze", cpus=args.cpus) as spark:
+        df = spark.read.csv(args.input, header=True, schema=(
+            "kmer string, true_count bigint, estimated_count bigint"))
+        m = estimate_metrics(df, scalable=args.scalable)
     print(json.dumps(m, sort_keys=True))
-    if owned:
-        spark.stop()
     return 0
 
 
 def cmd_ingest(args) -> int:
-    from pyspark.sql import SparkSession
-
-    from sketchlib.session import get_spark
+    from sketchlib.session import borrowed_spark
     from sketchlib.storage import write_bucketed
 
-    owned = SparkSession.getActiveSession() is None
-    spark = get_spark("sketchlib-ingest", cpus=args.cpus)
-    write_bucketed(spark.read.parquet(args.parquet), args.table,
-                   args.key, n_buckets=args.buckets, path=args.path)
+    with borrowed_spark("sketchlib-ingest", cpus=args.cpus) as spark:
+        write_bucketed(spark.read.parquet(args.parquet), args.table,
+                       args.key, n_buckets=args.buckets, path=args.path)
     print(f"wrote table {args.table} bucketed by {args.key} "
           f"x{args.buckets}")
-    if owned:
-        spark.stop()
     return 0
 
 

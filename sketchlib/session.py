@@ -7,6 +7,7 @@ shuffle partitions sized to parallelism).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import zipfile
@@ -64,3 +65,25 @@ def get_spark(app: str = "sketchlib", cpus: int | None = None,
     )
     _ship_package(spark)
     return spark
+
+
+@contextlib.contextmanager
+def borrowed_spark(app: str = "sketchlib", cpus: int | None = None):
+    """``get_spark`` for command-style entry points: yields the
+    (possibly pre-existing) session and stops it on exit ONLY if no
+    session or context existed anywhere in the process beforehand.
+
+    ``getActiveSession`` is thread-local, so it alone would mark a
+    session created in another thread as "ours" and stop it out from
+    under its owner — the process-wide SparkContext check closes that
+    hole."""
+    from pyspark import SparkContext
+
+    owned = (SparkSession.getActiveSession() is None
+             and SparkContext._active_spark_context is None)
+    spark = get_spark(app, cpus=cpus)
+    try:
+        yield spark
+    finally:
+        if owned:
+            spark.stop()

@@ -9,9 +9,12 @@ hash-clustered on its key. Spark's bucketed parquet tables
 (``bucketBy`` + ``sortBy`` via ``saveAsTable``) persist exactly that
 layout: the scan reports its bucket spec to Catalyst, which then
 plans joins and aggregations on the bucket key with NO shuffle
-exchange on the bucketed side (and no sort when buckets are written
-sorted, one file per bucket). The shuffle is paid once at write time
-and amortized over every subsequent read.
+exchange on the bucketed side. The shuffle is paid once at write time
+and amortized over every subsequent read. (Sort nodes remain in merge
+joins: Spark's default config does not propagate bucketed-scan output
+ordering — ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is
+off — so sorted buckets buy a cheap sort of pre-sorted runs, not sort
+elision.)
 
 The reference has no analog (single-node, one input file) — this is
 pure Spark-native layout control; see tests/test_storage.py for the
@@ -40,8 +43,9 @@ def write_bucketed(df: DataFrame, table: str, key: str,
 
     The pre-write ``repartition(n_buckets, key)`` uses the same
     Murmur3 hash as the bucket spec, so every task holds exactly one
-    bucket and each bucket lands in ONE file — the layout Catalyst
-    needs to also elide the sort on bucket-key joins. With ``path``
+    bucket and each bucket lands in ONE file — no per-task file
+    splinter, and the layout the legacy outputOrdering flag needs if
+    sort elision is ever enabled. With ``path``
     the table is external (data at ``path``, only metadata in the
     session catalog); without it, data goes to the warehouse dir.
     """

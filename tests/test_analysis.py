@@ -83,3 +83,24 @@ def test_null_and_unparseable_rows_are_dropped(spark):
         assert m["n"] == 2
         assert m["n_violations"] == 1       # (5, 4): true > est
         assert m["rmse"] == m["rmse"]       # not NaN
+
+
+def test_empty_and_nan_inputs_are_safe(spark):
+    """Header-only CSV (zero clean rows) returns n=0 with None metrics
+    instead of a TypeError; NaN values are dropped like nulls (they
+    would poison RMSE and the scalable path's offset ordering)."""
+    empty = spark.createDataFrame(
+        [], "kmer string, true_count int, estimated_count int")
+    for scalable in (False, True):
+        m = estimate_metrics(empty, scalable=scalable)
+        assert m == {"n": 0, "n_violations": 0,
+                     "rmse": None, "spearman": None}
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (float("nan"), 3.0), (4.0, float("nan")), (5.0, 4.0)],
+        "true_count double, estimated_count double")
+    for scalable in (False, True):
+        m = estimate_metrics(df, scalable=scalable)
+        assert m["n"] == 2
+        assert m["n_violations"] == 1    # (5, 4)
+        assert m["rmse"] == m["rmse"]    # not NaN

@@ -80,7 +80,7 @@ def test_cli_analyze_matches_library_metrics(spark, capsys):
 def test_cli_ingest_writes_bucketed_table(spark, tmp_path):
     """``ingest`` persists the bucketed layout: the resulting table's
     self-join on the bucket key plans with zero shuffle exchanges."""
-    import re
+    from tests.conftest import n_shuffles, plan_of
 
     assert main(["ingest", "--parquet",
                  "/root/testdata/sf0.001/documents.parquet",
@@ -90,9 +90,7 @@ def test_cli_ingest_writes_bucketed_table(spark, tmp_path):
         t = spark.table("cli_docs")
         j = (t.select("doc_id", "lang").hint("merge")
              .join(t.select("doc_id", "source"), "doc_id"))
-        plan = j._sc._jvm.PythonSQLUtils.explainString(
-            j._jdf.queryExecution(), "formatted")
-        assert not re.findall(r"\(\d+\) Exchange\b", plan)
+        assert n_shuffles(plan_of(j)) == 0
         assert j.count() == t.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_docs")

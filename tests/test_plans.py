@@ -13,12 +13,9 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as E
 
+from tests.conftest import plan_of as _plan
+
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):

@@ -6,26 +6,12 @@ sketchlib/storage.py.
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from sketchlib.storage import read_table, write_bucketed
+from tests.conftest import n_shuffles as _shuffles, plan_of as _plan
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
-
-
-def _shuffles(plan: str) -> int:
-    # formatted explain names shuffle nodes "(n) Exchange" (arguments —
-    # hashpartitioning etc. — on the following lines); broadcast
-    # exchanges are "(n) BroadcastExchange" and are fine. Count the
-    # shuffles bucketing exists to remove.
-    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 @pytest.fixture()
