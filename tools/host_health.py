@@ -71,7 +71,10 @@ def main() -> int:
           f"sys {sys1:.1f}% steal {steal1:.1f}%")
     print(f"8-proc: {m8:6.0f} M ops/s ({100*r8:.0f}% of clean) "
           f"sys {sys8:.1f}% steal {steal8:.1f}%")
-    ok = r1 >= 0.85 and r8 >= 0.80 and sys8 < 8.0
+    # rates are the verdict; the probe's own fork/alloc traffic puts
+    # ~10% sys on a healthy host, so sys% alone never fails a window —
+    # it is printed as the diagnostic of WHY a low rate is low
+    ok = r1 >= 0.85 and r8 >= 0.80
     print("WINDOW:", "CLEAN — benchmark numbers trustworthy" if ok else
           "DEGRADED — do not record benchmark numbers from this window")
     return 0 if ok else 1
