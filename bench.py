@@ -121,14 +121,48 @@ def main() -> int:
     # best-of-2: this sandbox is a shared VM whose effective CPU drifts
     # minute-to-minute (BENCH/BASELINE.md); the first rep also absorbs
     # any codegen/worker warmup the query loop didn't cover
-    dt = min(_timed(build_sketch, toks, "token_u64",
-                    partial(CountMin, cfg), pre_aggregate=True)
-             for _ in range(2))
+    sk = None
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sk = build_sketch(toks, "token_u64", partial(CountMin, cfg),
+                          pre_aggregate=True)
+        dt = min(dt, time.time() - t0)
     timings["cm_build_transcripts"] = round(dt, 3)
     throughput["turns_per_sec"] = round(n_turns / dt, 1)
     throughput["cm_updates_per_sec"] = round(n_updates / dt, 1)
     throughput["n_turns"] = n_turns
     throughput["n_updates"] = n_updates
+
+    # ---- CM point-query epsilon-bound pass rate (the other half of
+    # BASELINE.json's metric). Published guarantee (Cormode &
+    # Muthukrishnan 2005): est >= true always (one-sided), and
+    # Pr[est - true > (e/w)*N] <= e^-depth. Checked distributed over
+    # EVERY distinct token: exact counts from a Tungsten hash agg,
+    # estimates from the broadcast sketch, bound flags aggregated
+    # JVM-side — no row ever reaches the driver.
+    import math
+
+    from sketchlib.queries import _estimate_col
+
+    truth = toks.groupBy("token_u64").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    eps_n = math.ceil(math.e * n_updates / (1 << cfg.np_bits))
+    flags = _estimate_col(spark, sk, truth, "token_u64").agg(
+        F.sum((F.col("est_count") >= F.col("true_count"))
+              .cast("long")).alias("one_sided_ok"),
+        F.sum((F.col("est_count") - F.col("true_count") <= F.lit(eps_n))
+              .cast("long")).alias("within_bound"),
+        F.count(F.lit(1)).alias("n_keys")).collect()[0]
+    throughput["cm_epsilon_bound_pass_rate"] = round(
+        flags["within_bound"] / flags["n_keys"], 6)
+    throughput["cm_one_sided_pass_rate"] = round(
+        flags["one_sided_ok"] / flags["n_keys"], 6)
+    throughput["cm_probe_keys"] = flags["n_keys"]
+    # delta = e^-nh ~ 0.09%: the pass rate must clear 1 - delta
+    assert throughput["cm_one_sided_pass_rate"] == 1.0
+    assert throughput["cm_epsilon_bound_pass_rate"] >= \
+        1.0 - math.e ** (-cfg.nh)
 
     # distributed-path throughput (local_threshold=0 disables the
     # small-key-space driver-local shortcut so the number is the
