@@ -92,6 +92,22 @@ class CheckpointStore:
     def snapshots(self) -> list[str]:
         return list(self._read_manifest()["snapshots"])
 
+    # -- pins ---------------------------------------------------------
+    # A pin records the INPUT-table snapshot a multi-pass build started
+    # from. Every pass (and any resume) must read that exact snapshot:
+    # the collision table computed in round r is only meaningful
+    # against the data that round 0 counted, so a table that advanced
+    # between passes would silently corrupt the estimate. Mirrors
+    # Iceberg's practice of resolving a snapshot id once per job and
+    # scanning it for the job's whole lifetime.
+    def get_pin(self, key: str) -> str | None:
+        return self._read_manifest().get("pins", {}).get(key)
+
+    def set_pin(self, key: str, value: str) -> None:
+        m = self._read_manifest()
+        m.setdefault("pins", {})[key] = value
+        self._write_manifest(m)
+
 
 def sketch_fill_metrics(core) -> dict[str, Any]:
     import numpy as np

@@ -215,7 +215,8 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
                   checkpoint_dir: str | None = None,
                   tree_width: int = 8,
                   pre_aggregate: bool = False,
-                  local_threshold: int = 200_000) -> OfflineCountMin:
+                  local_threshold: int = 200_000,
+                  input_snapshot: str | None = None) -> OfflineCountMin:
     """Multi-round OCM/OCCM build over ``df[col]`` (int64/uint64 tokens).
 
     With ``checkpoint_dir``, each completed pass commits a snapshot and
@@ -270,6 +271,14 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
         if store is not None:
             found = store.find(snap_id)
             if found is not None:
+                recorded = found[0]["config"].get("input_snapshot")
+                if recorded != input_snapshot:
+                    raise ValueError(
+                        f"checkpoint {snap_id} was built from input "
+                        f"snapshot {recorded!r}, not {input_snapshot!r} "
+                        "— resuming across different input data would "
+                        "corrupt the sketch; restart with a fresh "
+                        "checkpoint dir or pass the recorded snapshot")
                 state = OfflineCountMin.from_bytes(found[1])
                 continue
         if kind in ("count", "occm"):
@@ -280,7 +289,8 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
         if store is not None:
             store.commit(
                 Snapshot(snapshot_id=snap_id,
-                         config=json.loads(json.dumps(cfg.__dict__)),
+                         config={**json.loads(json.dumps(cfg.__dict__)),
+                                 "input_snapshot": input_snapshot},
                          round_=r, pass_name=kind, blob_file="",
                          lineage=res.lineage,
                          metrics=sketch_fill_metrics(state.core)),
@@ -288,3 +298,45 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
     if persisted is not None:
         persisted.unpersist()
     return state
+
+
+def build_offline_from_table(spark, catalog, table: str, cfg: CMConfig,
+                             rounds: int,
+                             checkpoint_dir: str | None = None,
+                             snapshot_id: str | None = None,
+                             tokenizer=None, col: str = "token_u64",
+                             **kwargs) -> tuple[OfflineCountMin, str]:
+    """Multi-round build over an Icebergish TABLE with snapshot pinning.
+
+    Resolves the input snapshot ONCE and scans it for the build's whole
+    lifetime (the Iceberg job-scoped-snapshot contract): a fresh build
+    pins the table's current snapshot into the checkpoint store; a
+    resumed build reuses the PINNED snapshot even if the table has
+    since received appends, so every pass — before and after the
+    interruption — reads identical data. Passing an explicit
+    ``snapshot_id`` that conflicts with an existing pin raises instead
+    of mixing inputs. Returns ``(sketch, snapshot_id_used)``.
+    """
+    from sketchlib.checkpoint_io import CheckpointStore
+
+    if tokenizer is None:
+        from sketchlib.tokenize import transcript_tokens
+        tokenizer = transcript_tokens
+    pin_key = f"{table}:{_config_key(cfg, rounds)}"
+    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+    pinned = store.get_pin(pin_key) if store is not None else None
+    if snapshot_id is not None and pinned is not None \
+            and snapshot_id != pinned:
+        raise ValueError(
+            f"checkpoint dir already pins input snapshot {pinned!r} for "
+            f"this build config; got snapshot_id={snapshot_id!r}")
+    snap = snapshot_id or pinned or catalog.current_snapshot(table)
+    if snap is None:
+        raise ValueError(f"table {table!r} has no snapshots")
+    if store is not None and pinned is None:
+        store.set_pin(pin_key, snap)
+    toks = tokenizer(catalog.load_table(spark, table, snap))
+    sk = build_offline(toks, col, cfg, rounds,
+                       checkpoint_dir=checkpoint_dir,
+                       input_snapshot=snap, **kwargs)
+    return sk, snap
