@@ -14,6 +14,9 @@ Usage (spark-submit --py-files sketchlib.zip -m sketchlib.cli ...):
   count over transcripts parquet:
     python -m sketchlib.cli count --parquet /data/transcripts \
         -w 1048576 -h 7 -n 4 -c -o sketch.bin [--checkpoint dir]
+  count over an Icebergish catalog table (snapshot-pinned, resumable):
+    python -m sketchlib.cli count --catalog /wh --table transcripts \
+        -w 1048576 -h 7 -n 4 -c -o sketch.bin --checkpoint ckpt/
   count over FASTA (reference parity):
     python -m sketchlib.cli count --fa input.fa -k 22 -w 1048576 \
         -h 7 -n 4 -c -o sketch.bin
@@ -53,6 +56,11 @@ def _build_parser() -> argparse.ArgumentParser:
     src = c.add_mutually_exclusive_group(required=True)
     src.add_argument("--parquet", help="transcripts parquet path")
     src.add_argument("--fa", help="FASTA input (reference parity mode)")
+    src.add_argument("--table", help="Icebergish catalog table name "
+                                     "(requires --catalog)")
+    c.add_argument("--catalog", help="Icebergish catalog root dir")
+    c.add_argument("--snapshot", help="table snapshot id to read "
+                                      "(default: pinned or current)")
     c.add_argument("-k", "--kmer", type=int, default=22,
                    help="k-mer length (FASTA mode)")
     c.add_argument("-w", "--width", type=int, default=1 << 20,
@@ -144,21 +152,46 @@ def cmd_count(args) -> int:
 
     from sketchlib.aggregate import build_sketch
     from sketchlib.offline import build_offline
-    from sketchlib.session import get_spark
+    from sketchlib.session import borrowed_spark
     from sketchlib.tokenize import transcript_tokens
 
-    spark = get_spark("sketchlib-count", cpus=args.cpus)
-    toks = transcript_tokens(spark.read.parquet(args.parquet))
-    if args.rounds > 1:
-        sk = build_offline(toks, "token_u64", cfg, args.rounds,
-                           checkpoint_dir=args.checkpoint,
-                           pre_aggregate=True)
-    else:
-        sk = build_sketch(toks, "token_u64", partial(CountMin, cfg),
-                          pre_aggregate=True)
-    sk.save_reference(args.output)
-    print(f"wrote {args.output}")
-    spark.stop()
+    with borrowed_spark("sketchlib-count", cpus=args.cpus) as spark:
+        if args.table:
+            # catalog mode: snapshot-pinned multi-pass build (resumable
+            # against the exact input snapshot even if the table
+            # advances)
+            if not args.catalog:
+                raise SystemExit("--table requires --catalog")
+            from sketchlib.iceberg import IcebergishCatalog
+            cat = IcebergishCatalog(args.catalog)
+            if args.rounds > 1:
+                from sketchlib.offline import build_offline_from_table
+                sk, snap = build_offline_from_table(
+                    spark, cat, args.table, cfg, args.rounds,
+                    checkpoint_dir=args.checkpoint,
+                    snapshot_id=args.snapshot, pre_aggregate=True)
+            else:
+                # single-pass CM: one scan, no cross-pass consistency
+                # concern — just resolve the snapshot and build
+                snap = args.snapshot or cat.current_snapshot(args.table)
+                toks = transcript_tokens(
+                    cat.load_table(spark, args.table, snap))
+                sk = build_sketch(toks, "token_u64",
+                                  partial(CountMin, cfg),
+                                  pre_aggregate=True)
+            sk.save_reference(args.output)
+            print(f"wrote {args.output} (snapshot {snap})")
+            return 0
+        toks = transcript_tokens(spark.read.parquet(args.parquet))
+        if args.rounds > 1:
+            sk = build_offline(toks, "token_u64", cfg, args.rounds,
+                               checkpoint_dir=args.checkpoint,
+                               pre_aggregate=True)
+        else:
+            sk = build_sketch(toks, "token_u64", partial(CountMin, cfg),
+                              pre_aggregate=True)
+        sk.save_reference(args.output)
+        print(f"wrote {args.output}")
     return 0
 
 
@@ -185,15 +218,15 @@ def cmd_query(args) -> int:
         # hash to drift)
         from pyspark.sql import functions as F
 
-        from sketchlib.session import get_spark
+        from sketchlib.session import borrowed_spark
 
         kind = {"word": 0, "tool": 1, "role": 2}[args.namespace]
-        spark = get_spark("sketchlib-query")
-        keys = [r.h for r in
-                spark.createDataFrame([(v,) for v in raw], "val string")
-                .select(F.xxhash64(F.lit(kind).cast("int"), "val")
-                        .alias("h")).collect()]
-        spark.stop()
+        with borrowed_spark("sketchlib-query") as spark:
+            keys = [r.h for r in
+                    spark.createDataFrame([(v,) for v in raw],
+                                          "val string")
+                    .select(F.xxhash64(F.lit(kind).cast("int"), "val")
+                            .alias("h")).collect()]
     est = sk.estimate(np.asarray(keys, dtype=np.int64).view(np.uint64))
     with open(args.output, "w", newline="") as fh:
         w = csv.writer(fh, lineterminator="\n")  # match reference's CSV

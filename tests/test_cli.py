@@ -94,3 +94,32 @@ def test_cli_ingest_writes_bucketed_table(spark, tmp_path):
         assert j.count() == t.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_docs")
+
+
+def test_cli_count_catalog_table_snapshot_pinned(spark, tmp_path):
+    """``count --catalog/--table`` builds from a pinned snapshot: the
+    sketch equals one built from the same snapshot's data directly,
+    and the printed snapshot id is the one the build actually read."""
+    from sketchlib.checkpoint_io import load_reference_sketch
+    from sketchlib.iceberg import IcebergishCatalog
+    from sketchlib.offline import build_offline
+    from sketchlib.sketches.cm import CMConfig
+    from sketchlib.synth import transcripts
+    from sketchlib.tokenize import transcript_tokens
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"))
+    s1 = cat.append("tr", transcripts(spark, 20, seed=21, partitions=2))
+    cat.append("tr", transcripts(spark, 20, seed=22, partitions=2))
+
+    out = str(tmp_path / "sk.bin")
+    assert main(["count", "--catalog", str(tmp_path / "wh"),
+                 "--table", "tr", "-w", "512", "-H", "3", "-n", "2",
+                 "-c", "--snapshot", s1, "-o", out]) == 0
+
+    cfg = CMConfig(np_bits=9, nh=3, seed=137, conservative=True)
+    want = build_offline(
+        transcript_tokens(cat.load_table(spark, "tr", s1)),
+        "token_u64", cfg, 2, pre_aggregate=True)
+    got = load_reference_sketch(out)
+    assert (got.core == want.core).all()
+    assert (got.collision == want.collision).all()
