@@ -149,9 +149,16 @@ def _run_pass(df: DataFrame, col: str, cfg: CMConfig, kind: str,
             yield pd.DataFrame({"lineage": [json.dumps(lin)],
                                 "payload": [out]})
 
-    folded = (parts.repartition(tree_width)
-                   .mapInPandas(fold, schema="lineage string, payload binary")
-                   .toPandas())
+    # the fold stage exists to bound driver fan-in; when there are
+    # already <= tree_width partials it would only add a stage that
+    # shuffles every multi-MB blob once more — pull them directly
+    if df.rdd.getNumPartitions() <= tree_width:
+        folded = parts.toPandas()
+    else:
+        folded = (parts.repartition(tree_width)
+                       .mapInPandas(fold,
+                                    schema="lineage string, payload binary")
+                       .toPandas())
     lineage: list = []
     payload = None
     for lg, pl in zip(folded["lineage"], folded["payload"]):
@@ -240,22 +247,32 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
     persisted = None
     if pre_aggregate:
         from pyspark.sql import functions as F
-        # no explicit repartition: AQE sizes the aggregate's output
-        # partitions by data volume, so the per-pass kernels get one
-        # task per ~64MB of distinct keys — few tasks for small key
-        # spaces (3 passes of per-task fixed cost matter), every core
-        # for large ones; the tree fold inside _run_pass bounds driver
-        # fan-in to tree_width either way
         df = (df.select(col).groupBy(col)
                 .agg(F.count("*").alias("__cnt")))
         persisted = df.persist()
         weighted = True
-        if store is None and local_threshold > 0:
-            n_distinct = persisted.count()  # materializes the persist
-            if n_distinct <= local_threshold:
-                pdf = persisted.toPandas()
-                persisted.unpersist()
-                return _build_local_weighted(pdf, col, cfg, rounds)
+        n_distinct = persisted.count()  # materializes the persist
+        if (store is None and local_threshold > 0
+                and n_distinct <= local_threshold):
+            pdf = persisted.toPandas()
+            persisted.unpersist()
+            return _build_local_weighted(pdf, col, cfg, rounds)
+        # Partial-blob economics: every map task ships ONE full sketch
+        # blob (8B core + 4B collision per cell) through the fold, and
+        # AQE cannot re-coalesce a cached plan's partitions
+        # (canChangeCachedPlanOutputPartitioning=false), so the
+        # weighted table keeps all shuffle partitions — measured at
+        # sf0.1 that is 32 tasks x 84MB of payload per pass for
+        # microseconds of kernel work. Cap tasks so per-task kernel
+        # work (~rows) stays comparable to the blob each task adds.
+        blob_cells = cfg.nh << cfg.np_bits
+        rows_per_task = max(500_000, blob_cells // 4)
+        k = min(int(df.sparkSession.sparkContext.defaultParallelism),
+                max(1, -(-n_distinct // rows_per_task)))
+        if k < persisted.rdd.getNumPartitions():
+            df = persisted.coalesce(k)
+        else:
+            df = persisted
 
     def passes():
         for r in range(rounds):
