@@ -544,25 +544,30 @@ def q_setsim_siblings_langs(spark, sf_dir):
     6-sigma bound flags."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.aggregate import build_grouped_sketches_multi
     from sketchlib.sketches.base import deserialize as _de
     from sketchlib.sketches.bbmh import OnePermMinHash
     from sketchlib.sketches.hmh import HyperMinHash
 
-    # one shingle+join scan feeds both estimators and the exact gate
+    # one shingle+join scan feeds both estimators and the exact gate;
+    # the estimator panel shares ONE grouped pass (the 100 TB shape:
+    # the shuffle is paid once for every estimator over the stream)
     with_lang = _lang_shingles(spark, sf_dir).cache()
     factories = {"hyperminhash": _p(HyperMinHash, 12, 10),
                  "onepermminhash": _p(OnePermMinHash, 10)}
+    grouped = build_grouped_sketches_multi(with_lang, ["lang"], "kh",
+                                           factories, salt_buckets=8)
+    sks: dict = {}
+    for r in grouped.collect():
+        sks.setdefault(r["name"], {})[r["lang"]] = _de(bytes(r["sketch"]))
     est_rows = []
-    for name, fac in sorted(factories.items()):
-        grouped = build_grouped_sketches(with_lang, ["lang"], "kh", fac,
-                                         salt_buckets=8)
-        sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
-        for la in sorted(sks):
-            for lb in sorted(sks):
+    for name in sorted(factories):
+        by_lang = sks.get(name, {})
+        for la in sorted(by_lang):
+            for lb in sorted(by_lang):
                 if la < lb:
                     est_rows.append((name, la, lb,
-                                     float(sks[la].jaccard(sks[lb]))))
+                                     float(by_lang[la].jaccard(by_lang[lb]))))
     est = spark.createDataFrame(
         est_rows, "estimator string, lang_a string, lang_b string, j double")
     exact = _pairwise_exact_sets(with_lang)

@@ -230,6 +230,73 @@ def finalize_grouped(grouped: DataFrame, finalize: Callable[[object], object],
     return grouped.mapInPandas(per_batch, schema=schema)
 
 
+def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
+                                 col: str,
+                                 factories: dict[str, Callable[[], object]],
+                                 as_u64: bool = True,
+                                 salt_buckets: int | None = None
+                                 ) -> DataFrame:
+    """SEVERAL named sketches per key group in ONE scan:
+    ``(key..., name string, sketch binary)`` DataFrame.
+
+    The grouped analog of :func:`build_sketches_multi` — a panel of
+    estimators over the same per-group key stream (e.g. HyperMinHash +
+    b-bit MinHash per language) pays the shuffle once instead of once
+    per estimator. Same hot-key salting as
+    :func:`build_grouped_sketches`; merges are associative &
+    commutative, so per-name results are identical to independent
+    build_grouped_sketches calls for order-independent sketches
+    (tested)."""
+    from pyspark.sql import functions as F
+
+    names = sorted(factories)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema if f.name in key_cols)
+    out_schema = f"{key_schema}, name string, sketch binary"
+
+    def _per_group(group_cols: list[str]):
+        def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            vals = _as_u64(pdf[col]) if as_u64 else pdf[col].to_numpy()
+            head = pdf.iloc[:1][group_cols]
+            out = (head.loc[head.index.repeat(len(names))]
+                   .reset_index(drop=True))
+            blobs = []
+            for name in names:
+                sk = factories[name]()
+                sk.update(vals)
+                blobs.append(sk.to_bytes())
+            out["name"] = names
+            out["sketch"] = blobs
+            return out
+        return per_group
+
+    if not salt_buckets:
+        return (df.select(*key_cols, col)
+                  .groupBy(*key_cols)
+                  .applyInPandas(_per_group(key_cols), schema=out_schema))
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["sketch"]:
+            sk = deserialize(bytes(b))
+            acc = sk if acc is None else acc.merge(sk)
+        head = pdf.iloc[:1][key_cols + ["name"]].copy()
+        head["sketch"] = [acc.to_bytes()]
+        return head
+
+    salted = (df.select(*key_cols, col)
+              .withColumn("__salt",
+                          F.pmod(F.xxhash64(col), F.lit(salt_buckets))))
+    partials = (salted.groupBy(*key_cols, "__salt")
+                .applyInPandas(_per_group(key_cols + ["__salt"]),
+                               schema=f"{key_schema}, __salt bigint, "
+                                      "name string, sketch binary")
+                .drop("__salt"))
+    return (partials.groupBy(*key_cols, "name")
+            .applyInPandas(merge_group, schema=out_schema))
+
+
 def build_sketches_multi(df: DataFrame, col: str,
                          factories: dict[str, Callable[[], object]],
                          tree_width: int = 8, as_u64: bool = True,

@@ -105,3 +105,32 @@ def test_grouped_sketches_per_key(spark, tokens):
                    .select("token_u64").distinct().count())
     est = kinds["r"].estimate()
     assert abs(est - exact_roles) <= max(2, 4 * kinds["r"].relative_error * exact_roles)
+
+def test_grouped_sketches_multi_one_pass_bitexact(spark, tokens):
+    """build_grouped_sketches_multi == independent build_grouped_sketches
+    per factory, bit-exact per (group, name), salted and unsalted —
+    the estimator-panel pass-sharing must be free of semantic drift."""
+    from sketchlib.aggregate import build_grouped_sketches_multi
+    from sketchlib.sketches.pcsa import PCSA
+
+    keyed = tokens.withColumn("kind", F.substring("token", 1, 1))
+    factories = {"hll": partial(HyperLogLog, 12),
+                 "pcsa": partial(PCSA, 64)}
+    for salt in (None, 4):
+        multi = {(r["kind"], r["name"]): bytes(r["sketch"])
+                 for r in build_grouped_sketches_multi(
+                     keyed, ["kind"], "token_u64", factories,
+                     salt_buckets=salt).collect()}
+        assert set(multi) == {(k, n) for k in ("w", "t", "r")
+                              for n in factories}
+        for name, fac in factories.items():
+            single = {r["kind"]: bytes(r["sketch"])
+                      for r in build_grouped_sketches(
+                          keyed, ["kind"], "token_u64", fac,
+                          salt_buckets=salt).collect()}
+            for kind, blob in single.items():
+                got = deserialize(multi[(kind, name)])
+                want = deserialize(blob)
+                np.testing.assert_array_equal(
+                    got.registers if name == "hll" else got.maps,
+                    want.registers if name == "hll" else want.maps)
