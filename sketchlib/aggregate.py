@@ -164,45 +164,14 @@ def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
     CM / HLL / Bloom / count-sketch). AQE's skew handling cannot split
     a single group of a custom aggregation — the salt must be in the
     grouping key, which is exactly what this does.
+
+    Implemented as the single-factory case of
+    :func:`build_grouped_sketches_multi` so the salting and merge
+    machinery exist in exactly one place.
     """
-    from pyspark.sql import functions as F
-
-    key_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema if f.name in key_cols)
-
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = factory()
-        vals = _as_u64(pdf[col]) if as_u64 else pdf[col].to_numpy()
-        sk.update(vals)
-        head = pdf.iloc[:1][key_cols].copy()
-        head["sketch"] = [sk.to_bytes()]
-        return head
-
-    if not salt_buckets:
-        return (df.select(*key_cols, col)
-                  .groupBy(*key_cols)
-                  .applyInPandas(per_group,
-                                 schema=f"{key_schema}, sketch binary"))
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for b in pdf["sketch"]:
-            sk = deserialize(bytes(b))
-            acc = sk if acc is None else acc.merge(sk)
-        head = pdf.iloc[:1][key_cols].copy()
-        head["sketch"] = [acc.to_bytes()]
-        return head
-
-    salted = (df.select(*key_cols, col)
-              .withColumn("__salt",
-                          F.pmod(F.xxhash64(col), F.lit(salt_buckets))))
-    partials = (salted.groupBy(*key_cols, "__salt")
-                .applyInPandas(per_group,
-                               schema=f"{key_schema}, sketch binary"))
-    return (partials.groupBy(*key_cols)
-            .applyInPandas(merge_group,
-                           schema=f"{key_schema}, sketch binary"))
+    return build_grouped_sketches_multi(
+        df, key_cols, col, {"sketch": factory},
+        as_u64=as_u64, salt_buckets=salt_buckets).drop("name")
 
 
 def finalize_grouped(grouped: DataFrame, finalize: Callable[[object], object],

@@ -13,13 +13,13 @@ Usage (spark-submit --py-files sketchlib.zip -m sketchlib.cli ...):
 
   count over transcripts parquet:
     python -m sketchlib.cli count --parquet /data/transcripts \
-        -w 1048576 -h 7 -n 4 -c -o sketch.bin [--checkpoint dir]
+        -w 1048576 -H 7 -n 4 -c -o sketch.bin [--checkpoint dir]
   count over an Icebergish catalog table (snapshot-pinned, resumable):
     python -m sketchlib.cli count --catalog /wh --table transcripts \
-        -w 1048576 -h 7 -n 4 -c -o sketch.bin --checkpoint ckpt/
+        -w 1048576 -H 7 -n 4 -c -o sketch.bin --checkpoint ckpt/
   count over FASTA (reference parity):
     python -m sketchlib.cli count --fa input.fa -k 22 -w 1048576 \
-        -h 7 -n 4 -c -o sketch.bin
+        -H 7 -n 4 -c -o sketch.bin
   query:
     python -m sketchlib.cli query -f sketch.bin -q queries.txt \
         -o result.csv [-k 22]

@@ -245,34 +245,40 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
     state = OfflineCountMin(cfg)
     weighted = False
     persisted = None
+    n_distinct = None
     if pre_aggregate:
         from pyspark.sql import functions as F
         df = (df.select(col).groupBy(col)
                 .agg(F.count("*").alias("__cnt")))
-        persisted = df.persist()
         weighted = True
-        n_distinct = persisted.count()  # materializes the persist
-        if (store is None and local_threshold > 0
-                and n_distinct <= local_threshold):
-            pdf = persisted.toPandas()
-            persisted.unpersist()
-            return _build_local_weighted(pdf, col, cfg, rounds)
-        # Partial-blob economics: every map task ships ONE full sketch
-        # blob (8B core + 4B collision per cell) through the fold, and
-        # AQE cannot re-coalesce a cached plan's partitions
+
+    def materialize(grouped):
+        # persist the weighted key table and cap the per-pass task
+        # count. Partial-blob economics: every map task ships ONE full
+        # sketch blob (8B core + 4B collision per cell) through the
+        # fold, and AQE cannot re-coalesce a cached plan's partitions
         # (canChangeCachedPlanOutputPartitioning=false), so the
         # weighted table keeps all shuffle partitions — measured at
         # sf0.1 that is 32 tasks x 84MB of payload per pass for
         # microseconds of kernel work. Cap tasks so per-task kernel
         # work (~rows) stays comparable to the blob each task adds.
+        nonlocal persisted, n_distinct
+        persisted = grouped.persist()
+        n_distinct = persisted.count()  # materializes the persist
         blob_cells = cfg.nh << cfg.np_bits
         rows_per_task = max(500_000, blob_cells // 4)
-        k = min(int(df.sparkSession.sparkContext.defaultParallelism),
+        k = min(int(grouped.sparkSession.sparkContext.defaultParallelism),
                 max(1, -(-n_distinct // rows_per_task)))
         if k < persisted.rdd.getNumPartitions():
-            df = persisted.coalesce(k)
-        else:
-            df = persisted
+            return persisted.coalesce(k)
+        return persisted
+
+    if pre_aggregate and store is None:
+        df = materialize(df)
+        if local_threshold > 0 and n_distinct <= local_threshold:
+            pdf = persisted.toPandas()
+            persisted.unpersist()
+            return _build_local_weighted(pdf, col, cfg, rounds)
 
     def passes():
         for r in range(rounds):
@@ -283,37 +289,46 @@ def build_offline(df: DataFrame, col: str, cfg: CMConfig, rounds: int,
             else:
                 yield r, "occm"
 
-    for r, kind in passes():
-        snap_id = f"{key}_r{r}_{kind}"
-        if store is not None:
-            found = store.find(snap_id)
-            if found is not None:
-                recorded = found[0]["config"].get("input_snapshot")
-                if recorded != input_snapshot:
-                    raise ValueError(
-                        f"checkpoint {snap_id} was built from input "
-                        f"snapshot {recorded!r}, not {input_snapshot!r} "
-                        "— resuming across different input data would "
-                        "corrupt the sketch; restart with a fresh "
-                        "checkpoint dir or pass the recorded snapshot")
-                state = OfflineCountMin.from_bytes(found[1])
-                continue
-        if kind in ("count", "occm"):
-            state.clear_core()  # main.cpp:49/76: zero counters, keep marks
-        res = _run_pass(df, col, cfg, kind, r, rounds, state, tree_width,
-                        weighted=weighted)
-        state = res.state
-        if store is not None:
-            store.commit(
-                Snapshot(snapshot_id=snap_id,
-                         config={**json.loads(json.dumps(cfg.__dict__)),
-                                 "input_snapshot": input_snapshot},
-                         round_=r, pass_name=kind, blob_file="",
-                         lineage=res.lineage,
-                         metrics=sketch_fill_metrics(state.core)),
-                state.to_bytes())
-    if persisted is not None:
-        persisted.unpersist()
+    try:
+        for r, kind in passes():
+            snap_id = f"{key}_r{r}_{kind}"
+            if store is not None:
+                found = store.find(snap_id)
+                if found is not None:
+                    recorded = found[0]["config"].get("input_snapshot")
+                    if recorded != input_snapshot:
+                        raise ValueError(
+                            f"checkpoint {snap_id} was built from input "
+                            f"snapshot {recorded!r}, not {input_snapshot!r}"
+                            " — resuming across different input data "
+                            "would corrupt the sketch; restart with a "
+                            "fresh checkpoint dir (or, when calling "
+                            "build_offline directly, pass "
+                            f"input_snapshot={recorded!r})")
+                    state = OfflineCountMin.from_bytes(found[1])
+                    continue
+            if pre_aggregate and persisted is None:
+                # deferred until a pass actually has to run: a fully
+                # checkpointed resume must stay free of input scans
+                df = materialize(df)
+            if kind in ("count", "occm"):
+                state.clear_core()  # main.cpp:49/76: zero counters,
+                # keep marks
+            res = _run_pass(df, col, cfg, kind, r, rounds, state,
+                            tree_width, weighted=weighted)
+            state = res.state
+            if store is not None:
+                store.commit(
+                    Snapshot(snapshot_id=snap_id,
+                             config={**json.loads(json.dumps(cfg.__dict__)),
+                                     "input_snapshot": input_snapshot},
+                             round_=r, pass_name=kind, blob_file="",
+                             lineage=res.lineage,
+                             metrics=sketch_fill_metrics(state.core)),
+                    state.to_bytes())
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     return state
 
 
@@ -334,8 +349,6 @@ def build_offline_from_table(spark, catalog, table: str, cfg: CMConfig,
     ``snapshot_id`` that conflicts with an existing pin raises instead
     of mixing inputs. Returns ``(sketch, snapshot_id_used)``.
     """
-    from sketchlib.checkpoint_io import CheckpointStore
-
     if tokenizer is None:
         from sketchlib.tokenize import transcript_tokens
         tokenizer = transcript_tokens
@@ -350,9 +363,13 @@ def build_offline_from_table(spark, catalog, table: str, cfg: CMConfig,
     snap = snapshot_id or pinned or catalog.current_snapshot(table)
     if snap is None:
         raise ValueError(f"table {table!r} has no snapshots")
+    # resolve the snapshot BEFORE pinning it: pinning a bogus
+    # --snapshot id would permanently wedge the checkpoint dir (every
+    # later run resolves the pin and fails; the correct id then trips
+    # the pin-conflict check above)
+    toks = tokenizer(catalog.load_table(spark, table, snap))
     if store is not None and pinned is None:
         store.set_pin(pin_key, snap)
-    toks = tokenizer(catalog.load_table(spark, table, snap))
     sk = build_offline(toks, col, cfg, rounds,
                        checkpoint_dir=checkpoint_dir,
                        input_snapshot=snap, **kwargs)

@@ -128,3 +128,53 @@ def test_overwrite_drops_previous_files(spark, tmp_path):
     cur = cat.load_table(spark, "t")
     assert cur.count() == 5
     assert cur.select("v").distinct().collect()[0][0] == "b"
+
+
+def test_bad_snapshot_id_does_not_poison_checkpoint_dir(spark, tmp_path):
+    """A typo'd --snapshot must fail BEFORE being pinned: pinning it
+    would wedge the checkpoint dir (every later run resolves the bogus
+    pin; the correct id then trips the pin-conflict check)."""
+    cat = IcebergishCatalog(str(tmp_path / "wh"))
+    s1 = cat.append("tr", transcripts(spark, 15, seed=7, partitions=2))
+    cfg = CMConfig(np_bits=8, nh=3, seed=1, conservative=True)
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(FileNotFoundError):
+        build_offline_from_table(spark, cat, "tr", cfg, 2,
+                                 checkpoint_dir=ckpt,
+                                 snapshot_id="snap-no-such",
+                                 local_threshold=0)
+    # the dir is still usable: the next run pins the real snapshot
+    sk, used = build_offline_from_table(spark, cat, "tr", cfg, 2,
+                                        checkpoint_dir=ckpt,
+                                        local_threshold=0)
+    assert used == s1
+    assert int(sk.core.sum()) > 0
+
+
+def test_fully_checkpointed_resume_runs_no_input_scan(spark, tmp_path):
+    """A resume whose every pass is already committed must not touch
+    the input: feed it a DataFrame that raises on evaluation and
+    assert the build still returns the checkpointed sketch."""
+    import pandas as pd
+
+    from sketchlib.offline import build_offline
+    from sketchlib.tokenize import transcript_tokens
+
+    toks = transcript_tokens(transcripts(spark, 15, seed=8, partitions=2))
+    cfg = CMConfig(np_bits=8, nh=3, seed=2, conservative=True)
+    ckpt = str(tmp_path / "ckpt")
+    full = build_offline(toks, "token_u64", cfg, 2, checkpoint_dir=ckpt,
+                         pre_aggregate=True, input_snapshot="s1")
+
+    def boom(batches):
+        raise RuntimeError("input was scanned during a complete resume")
+        yield  # pragma: no cover
+
+    poisoned = (spark.range(10)
+                .selectExpr("id AS token_u64")
+                .mapInPandas(boom, schema="token_u64 long"))
+    resumed = build_offline(poisoned, "token_u64", cfg, 2,
+                            checkpoint_dir=ckpt, pre_aggregate=True,
+                            input_snapshot="s1")
+    np.testing.assert_array_equal(full.core, resumed.core)
+    np.testing.assert_array_equal(full.collision, resumed.collision)
