@@ -980,6 +980,47 @@ def q_user_sessions(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_incremental_cm_user_freq(spark, sf_dir):
+    """Incremental sketch-table maintenance: a per-event_type CM
+    sketch table (Icebergish snapshots, sketchlib/incremental.py) is
+    refreshed across two append commits — the second refresh scans
+    ONLY the delta files and folds them into the stored blobs — then
+    probed distributed via cogroup. The reference can't do this at
+    all (one-shot sketch files over one input, main.cpp:43-55); at
+    100 TB it's the difference between O(delta) and O(history) per
+    refresh. Collision-free width => the full-table GROUP BY oracle
+    is a strict equality gate, which also proves the refresh neither
+    double-counted nor missed rows."""
+    import tempfile
+    from sketchlib.iceberg import IcebergishCatalog
+    from sketchlib.incremental import (load_sketch_table, probe_grouped,
+                                       refresh_sketch_table)
+    from sketchlib.sketches.cm import CountMin
+
+    ev = _t(spark, sf_dir, "events")
+    cat = IcebergishCatalog(tempfile.mkdtemp(prefix="sketchtable_"))
+    fac = {"cm": partial(CountMin, CMConfig(np_bits=16, nh=5, seed=137,
+                                            conservative=False))}
+
+    def prep(df):
+        return df.select("event_type", F.xxhash64("user_id").alias("kh"))
+
+    cat.append("events", ev.filter(F.col("event_id") % 2 == 0))
+    refresh_sketch_table(spark, cat, "events", "sk", ["event_type"],
+                         "kh", fac, prepare=prep)
+    cat.append("events", ev.filter(F.col("event_id") % 2 == 1))
+    stats = refresh_sketch_table(spark, cat, "events", "sk",
+                                 ["event_type"], "kh", fac, prepare=prep)
+    assert stats["mode"] == "incremental", stats
+
+    probes = ev.select("event_type", "user_id",
+                       F.xxhash64("user_id").alias("kh")).distinct()
+    sk_df = load_sketch_table(spark, cat, "sk", name="cm")
+    return (probe_grouped(probes, sk_df, ["event_type"], "kh")
+            .select("event_type", "user_id", "est_count")
+            .orderBy("event_type", "user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cm_event_type_freq": q_cm_event_type_freq,
@@ -1032,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers_window": q_top_customers_window,
         "user_sessions": q_user_sessions,
+        "incremental_cm_user_freq": q_incremental_cm_user_freq,
     }
 
 
@@ -1180,6 +1222,9 @@ FROM s GROUP BY kind ORDER BY kind"""
         "occm_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "incremental_cm_user_freq": (
+            "SELECT event_type, user_id, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
         "cmm_user_freq": (
             "WITH c AS (SELECT user_id AS key, "
             "CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY 1), "

@@ -32,6 +32,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_rows(file_dir: str) -> int:
+    total = 0
+    for name in os.listdir(file_dir):
+        if name.endswith(".parquet"):
+            import pyarrow.parquet as pq
+            total += pq.ParquetFile(
+                os.path.join(file_dir, name)).metadata.num_rows
+    return total
+
+
 class IcebergishCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -60,16 +70,22 @@ class IcebergishCatalog:
 
     # ---------------------------------------------------------- commits
     def append(self, table: str, df: DataFrame,
-               operation: str = "append") -> str:
+               operation: str = "append",
+               properties: dict | None = None) -> str:
         """Write ``df`` as new immutable data files and commit a new
         snapshot (previous files retained for ``append``, dropped for
-        ``overwrite``). Returns the snapshot id."""
+        ``overwrite``). ``properties`` is an arbitrary JSON-able dict
+        stored on the snapshot (Iceberg snapshot summary analog) —
+        derived tables use it to record which SOURCE snapshot they were
+        computed from. Returns the snapshot id."""
         tdir = self._tdir(table)
         data_dir = os.path.join(tdir, "data")
         os.makedirs(data_dir, exist_ok=True)
         file_dir = os.path.join(data_dir, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(file_dir)
-        n_rows = df.sparkSession.read.parquet(file_dir).count()
+        # row count from the parquet footers (Iceberg gets this from
+        # write metrics) — not a second Spark scan of what was written
+        n_rows = _parquet_rows(file_dir)
 
         # Commit under an exclusive file lock: Iceberg's catalog commit
         # is compare-and-swap on the expected current snapshot; without
@@ -91,6 +107,7 @@ class IcebergishCatalog:
                 "parent": cat["current"],
                 "operation": operation,
                 "files": prev_files + [{"path": file_dir, "rows": n_rows}],
+                "properties": dict(properties or {}),
             }
             with open(os.path.join(tdir, f"snap-{snap_id}.json"), "w") as fh:
                 json.dump(snap, fh, indent=1)
@@ -99,8 +116,10 @@ class IcebergishCatalog:
             self._write_catalog(table, cat)
         return snap_id
 
-    def overwrite(self, table: str, df: DataFrame) -> str:
-        return self.append(table, df, operation="overwrite")
+    def overwrite(self, table: str, df: DataFrame,
+                  properties: dict | None = None) -> str:
+        return self.append(table, df, operation="overwrite",
+                           properties=properties)
 
     # ------------------------------------------------------------ reads
     def _read_snapshot(self, table: str, snap_id: str) -> dict:
@@ -114,6 +133,9 @@ class IcebergishCatalog:
     def snapshots(self, table: str) -> list[str]:
         return list(self._read_catalog(table)["log"])
 
+    def snapshot_properties(self, table: str, snap_id: str) -> dict:
+        return self._read_snapshot(table, snap_id).get("properties", {})
+
     def load_table(self, spark: SparkSession, table: str,
                    snapshot_id: str | None = None) -> DataFrame:
         """Read the table at a snapshot (default: current). Time
@@ -124,3 +146,36 @@ class IcebergishCatalog:
         files = self._read_snapshot(table, snap_id)["files"]
         paths = [f["path"] for f in files]
         return spark.read.parquet(*paths)
+
+    def load_incremental(self, spark: SparkSession, table: str,
+                         from_snapshot: str,
+                         to_snapshot: str | None = None) -> DataFrame | None:
+        """Incremental APPEND scan: only the data files committed
+        AFTER ``from_snapshot`` up to ``to_snapshot`` (default:
+        current) — the Iceberg ``incremental append scan`` contract
+        that makes derived-table refresh O(new data), not O(table).
+
+        Data files are immutable, so the delta is a pure file-list
+        diff. If any of ``from_snapshot``'s files are missing from
+        ``to_snapshot`` (an ``overwrite``/compaction happened in
+        between), an incremental read would double-count or miss rows
+        — raise instead, the caller must rebuild from scratch.
+        Returns None when the range is empty (nothing new).
+        """
+        to_snap = to_snapshot or self.current_snapshot(table)
+        if to_snap is None:
+            raise ValueError(f"table {table!r} has no snapshots")
+        old_files = {f["path"]
+                     for f in self._read_snapshot(table,
+                                                  from_snapshot)["files"]}
+        new_list = self._read_snapshot(table, to_snap)["files"]
+        new_set = {f["path"] for f in new_list}
+        if not old_files <= new_set:
+            raise ValueError(
+                f"snapshots {from_snapshot}..{to_snap} of {table!r} are "
+                "not append-only (overwrite/compaction in range); "
+                "incremental scan invalid — rebuild required")
+        delta = [f["path"] for f in new_list if f["path"] not in old_files]
+        if not delta:
+            return None
+        return spark.read.parquet(*delta)
