@@ -90,6 +90,46 @@ def windowed_sketch_sink(store: WindowedSketchStore,
     return per_batch
 
 
+def catalog_ingest_sink(catalog, table: str, query_name: str = "stream"):
+    """foreachBatch sink that appends each micro-batch to an
+    Icebergish table with exactly-once semantics — the ingest half of
+    the streaming -> incremental-sketch-maintenance loop (the other
+    half is :func:`sketchlib.incremental.refresh_sketch_table`, which
+    scans only the appended delta files).
+
+    Exactly-once: each append commit records ``(stream, epoch)`` in
+    its snapshot properties; a replayed micro-batch (recovery after
+    failure re-runs the last uncommitted epoch) finds its epoch
+    already committed and skips, so the table never double-ingests.
+    The check-then-append window is safe under Structured Streaming's
+    contract that a query runs one micro-batch at a time; real Iceberg
+    makes the same idempotence check inside the commit via the
+    snapshot summary's checkpoint id.
+
+    The committed-epoch lookup walks the snapshot log (one small JSON
+    read per snapshot); Iceberg proper keeps this in table metadata —
+    at this adapter's single-node scope the walk is bounded by
+    snapshot count, not data size.
+    """
+
+    def committed_epochs() -> set:
+        out = set()
+        for snap in catalog.snapshots(table):
+            props = catalog.snapshot_properties(table, snap)
+            if props.get("stream") == query_name:
+                out.add(props.get("epoch"))
+        return out
+
+    def per_batch(df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) in committed_epochs():
+            return  # replayed epoch — already durable, skip
+        catalog.append(table, df,
+                       properties={"stream": query_name,
+                                   "epoch": int(epoch_id)})
+
+    return per_batch
+
+
 def windowed_counts(stream_df: DataFrame, key_col: str, ts_col: str,
                     window: str = "5 minutes",
                     watermark: str = "10 minutes") -> DataFrame:
