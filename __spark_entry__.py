@@ -1021,6 +1021,52 @@ def q_incremental_cm_user_freq(spark, sf_dir):
             .orderBy("event_type", "user_id"))
 
 
+def q_timetravel_cm_user_freq(spark, sf_dir):
+    """Snapshot time travel on a DERIVED sketch table: the sketch
+    table advances through two refreshes (even half, then odd half of
+    events), and the query probes it AS OF its FIRST snapshot — the
+    estimates must reflect only the even half, exactly (collision-free
+    width), even though the table's current snapshot has seen
+    everything. Every sketch-table snapshot records the source
+    snapshot it reflects, so any historical estimate is reproducible —
+    the audit property the reference's one-shot sketch files can't
+    offer (overwritten file == history gone). Oracle: GROUP BY over
+    the even half only."""
+    import tempfile
+    from sketchlib.iceberg import IcebergishCatalog
+    from sketchlib.incremental import (load_sketch_table, probe_grouped,
+                                       refresh_sketch_table)
+    from sketchlib.sketches.cm import CountMin
+
+    ev = _t(spark, sf_dir, "events")
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    cat = IcebergishCatalog(tempfile.mkdtemp(prefix="timetravel_"))
+    fac = {"cm": partial(CountMin, CMConfig(np_bits=16, nh=5, seed=137,
+                                            conservative=False))}
+
+    def prep(df):
+        return df.select("event_type", F.xxhash64("user_id").alias("kh"))
+
+    cat.append("events", even)
+    s1 = refresh_sketch_table(spark, cat, "events", "sk", ["event_type"],
+                              "kh", fac, prepare=prep)
+    cat.append("events", ev.filter(F.col("event_id") % 2 == 1))
+    refresh_sketch_table(spark, cat, "events", "sk", ["event_type"],
+                         "kh", fac, prepare=prep)
+
+    # time travel: the sketch table AS OF the first refresh
+    asof = s1["sketch_snapshot"]
+    src = cat.snapshot_properties("sk", asof)["source_snapshot"]
+    assert src == s1["source_snapshot"]
+    sk_df = load_sketch_table(spark, cat, "sk", name="cm",
+                              snapshot_id=asof)
+    probes = even.select("event_type", "user_id",
+                         F.xxhash64("user_id").alias("kh")).distinct()
+    return (probe_grouped(probes, sk_df, ["event_type"], "kh")
+            .select("event_type", "user_id", "est_count")
+            .orderBy("event_type", "user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cm_event_type_freq": q_cm_event_type_freq,
@@ -1074,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_window": q_top_customers_window,
         "user_sessions": q_user_sessions,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
+        "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
     }
 
 
@@ -1225,6 +1272,10 @@ FROM s GROUP BY kind ORDER BY kind"""
         "incremental_cm_user_freq": (
             "SELECT event_type, user_id, COUNT(*) AS est_count "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+        "timetravel_cm_user_freq": (
+            "SELECT event_type, user_id, COUNT(*) AS est_count "
+            "FROM events WHERE event_id % 2 = 0 "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
         "cmm_user_freq": (
             "WITH c AS (SELECT user_id AS key, "
             "CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY 1), "
