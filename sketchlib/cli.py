@@ -28,6 +28,13 @@ Usage (spark-submit --py-files sketchlib.zip -m sketchlib.cli ...):
   ingest (bucketed layout for write-once/join-many corpus tables):
     python -m sketchlib.cli ingest --parquet src/ --table docs \
         --key doc_id --buckets 512 [--path dst/]
+  append (snapshot commit to an Icebergish catalog table):
+    python -m sketchlib.cli append --catalog /wh --table events \
+        --parquet new_batch/
+  refresh (derived per-group sketch table, O(delta) on appends):
+    python -m sketchlib.cli refresh --catalog /wh --source events \
+        --sketch-table sk --group-cols event_type --key user_id \
+        [-w 65536 -H 5 --hll]
 
 Query files are the reference's whitespace format ``key true_count``
 (main.cpp:121-132); with ``-k`` the key is 2-bit-encoded as a k-mer
@@ -104,6 +111,33 @@ def _build_parser() -> argparse.ArgumentParser:
     i.add_argument("--buckets", type=int, default=64)
     i.add_argument("--path", help="external table location")
     i.add_argument("--cpus", type=int, default=None)
+
+    ap = sub.add_parser("append",
+                        help="append parquet data to an Icebergish "
+                             "catalog table (one snapshot commit)")
+    ap.add_argument("--catalog", required=True, help="catalog root dir")
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--parquet", required=True, help="data to append")
+    ap.add_argument("--cpus", type=int, default=None)
+
+    r = sub.add_parser(
+        "refresh",
+        help="incrementally refresh a derived per-group sketch table "
+             "(scans only source files appended since last refresh)")
+    r.add_argument("--catalog", required=True, help="catalog root dir")
+    r.add_argument("--source", required=True, help="source table name")
+    r.add_argument("--sketch-table", required=True,
+                   help="derived sketch table name")
+    r.add_argument("--group-cols", required=True,
+                   help="comma-separated grouping columns")
+    r.add_argument("--key", required=True,
+                   help="column hashed (xxhash64) into the sketches")
+    r.add_argument("-w", "--width", type=int, default=1 << 16)
+    r.add_argument("-H", "--hashes", type=int, default=5, dest="nh")
+    r.add_argument("--seed", type=int, default=137)
+    r.add_argument("--hll", action="store_true",
+                   help="add an HLL(p=12) panel member (same scan)")
+    r.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -263,12 +297,60 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    from sketchlib.iceberg import IcebergishCatalog
+    from sketchlib.session import borrowed_spark
+
+    with borrowed_spark("sketchlib-append", cpus=args.cpus) as spark:
+        cat = IcebergishCatalog(args.catalog)
+        snap = cat.append(args.table, spark.read.parquet(args.parquet))
+    print(f"committed snapshot {snap} to {args.table}")
+    return 0
+
+
+def cmd_refresh(args) -> int:
+    """Refresh a derived sketch table: CM (+ optional HLL) per group,
+    O(delta) when the source advanced by appends only."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.iceberg import IcebergishCatalog
+    from sketchlib.incremental import refresh_sketch_table
+    from sketchlib.session import borrowed_spark
+    from sketchlib.sketches.cm import CMConfig, CountMin
+
+    group_cols = [c.strip() for c in args.group_cols.split(",") if c.strip()]
+    cfg = CMConfig(np_bits=_np_bits(args.width), nh=args.nh,
+                   seed=args.seed, conservative=False)
+    factories = {"cm": partial(CountMin, cfg)}
+    if args.hll:
+        from sketchlib.sketches.hll import HyperLogLog
+        factories["hll"] = partial(HyperLogLog, 12)
+
+    def prep(df):
+        return df.select(*group_cols,
+                         F.xxhash64(args.key).alias("kh"))
+
+    with borrowed_spark("sketchlib-refresh", cpus=args.cpus) as spark:
+        cat = IcebergishCatalog(args.catalog)
+        stats = refresh_sketch_table(spark, cat, args.source,
+                                     args.sketch_table, group_cols,
+                                     "kh", factories, prepare=prep)
+    print(json.dumps(stats, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.mode == "analyze":
         return cmd_analyze(args)
     if args.mode == "ingest":
         return cmd_ingest(args)
+    if args.mode == "append":
+        return cmd_append(args)
+    if args.mode == "refresh":
+        return cmd_refresh(args)
     return cmd_count(args) if args.mode == "count" else cmd_query(args)
 
 

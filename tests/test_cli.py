@@ -123,3 +123,46 @@ def test_cli_count_catalog_table_snapshot_pinned(spark, tmp_path):
     got = load_reference_sketch(out)
     assert (got.core == want.core).all()
     assert (got.collision == want.collision).all()
+
+
+def test_cli_append_refresh_incremental(spark, tmp_path, capsys):
+    """``append`` commits snapshots; ``refresh`` builds the derived
+    sketch table, then refreshes O(delta) on the next append; the
+    final estimates equal the exact GROUP BY over everything."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sketchlib.iceberg import IcebergishCatalog
+    from sketchlib.incremental import load_sketch_table, probe_grouped
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").limit(3000)
+    p1, p2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(p1)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(p2)
+    wh = str(tmp_path / "wh")
+
+    def run(argv):
+        assert main(argv) == 0
+        return capsys.readouterr().out.strip().splitlines()[-1]
+
+    run(["append", "--catalog", wh, "--table", "ev", "--parquet", p1])
+    s1 = json.loads(run(["refresh", "--catalog", wh, "--source", "ev",
+                         "--sketch-table", "sk", "--group-cols",
+                         "event_type", "--key", "user_id"]))
+    assert s1["mode"] == "initial"
+    run(["append", "--catalog", wh, "--table", "ev", "--parquet", p2])
+    s2 = json.loads(run(["refresh", "--catalog", wh, "--source", "ev",
+                         "--sketch-table", "sk", "--group-cols",
+                         "event_type", "--key", "user_id"]))
+    assert s2["mode"] == "incremental"
+
+    cat = IcebergishCatalog(wh)
+    exact = (ev.groupBy("event_type", "user_id")
+             .agg(F.count("*").alias("n"))
+             .withColumn("kh", F.xxhash64("user_id")))
+    got = probe_grouped(exact, load_sketch_table(spark, cat, "sk", name="cm"),
+                        ["event_type"], "kh").toPandas()
+    np.testing.assert_array_equal(got["est_count"].to_numpy(),
+                                  got["n"].to_numpy())
