@@ -980,6 +980,26 @@ def q_user_sessions(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_profile_orders(spark, sf_dir):
+    """One-scan table profiler (sketchlib/profile.py): per-column
+    n_values / exact n_distinct / HLL-bound flag / rank-exact median
+    over a mixed-type column set — the whole panel from ONE melted
+    corpus scan instead of one job per column. Strict gate: exact
+    counts + rank median are SQL-reproducible; the HLL estimate is
+    gated through its error-bound flag (the (exact, within_bound)
+    pattern the other HLL queries use). KLL runs in its exact regime
+    (k > rows) so p0_5 is THE rank median, not an approximation."""
+    from sketchlib.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_table(
+        spark, orders, ["o_custkey", "o_totalprice", "o_orderstatus"],
+        qs=(0.5,), kll_k=orders.count() + 1)
+    return (prof.select(F.col("column").alias("col_name"), "n_values",
+                        "n_distinct", "within_bound", "p0_5")
+            .orderBy("col_name"))
+
+
 def q_incremental_cm_user_freq(spark, sf_dir):
     """Incremental sketch-table maintenance: a per-event_type CM
     sketch table (Icebergish snapshots, sketchlib/incremental.py) is
@@ -1119,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers_window": q_top_customers_window,
         "user_sessions": q_user_sessions,
+        "profile_orders": q_profile_orders,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
         "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
     }
@@ -1269,6 +1290,32 @@ FROM s GROUP BY kind ORDER BY kind"""
         "occm_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "profile_orders": ("""
+WITH med AS (
+  SELECT col_name, v AS p0_5 FROM (
+    SELECT 'o_custkey' AS col_name, CAST(o_custkey AS DOUBLE) AS v,
+           row_number() OVER (ORDER BY o_custkey) AS rn,
+           COUNT(*) OVER () AS n
+    FROM orders WHERE o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE),
+           row_number() OVER (ORDER BY o_totalprice),
+           COUNT(*) OVER ()
+    FROM orders WHERE o_totalprice IS NOT NULL)
+  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+prof AS (
+  SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS n_values,
+         COUNT(DISTINCT o_custkey) AS n_distinct,
+         TRUE AS within_bound FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(o_totalprice),
+         COUNT(DISTINCT o_totalprice), TRUE FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus), TRUE FROM orders)
+SELECT p.col_name, p.n_values, p.n_distinct, p.within_bound, m.p0_5
+FROM prof p LEFT JOIN med m USING (col_name)
+ORDER BY p.col_name"""),
         "incremental_cm_user_freq": (
             "SELECT event_type, user_id, COUNT(*) AS est_count "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -138,6 +138,20 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--hll", action="store_true",
                    help="add an HLL(p=12) panel member (same scan)")
     r.add_argument("--cpus", type=int, default=None)
+
+    pr = sub.add_parser(
+        "profile",
+        help="one-scan per-column profile of a parquet table "
+             "(n_values, distinct exact+HLL, KLL quantiles)")
+    pr.add_argument("--parquet", required=True, help="table to profile")
+    pr.add_argument("--columns", help="comma-separated subset "
+                                      "(default: all atomic columns)")
+    pr.add_argument("--quantiles", default="0.5",
+                    help="comma-separated q values for numeric columns")
+    pr.add_argument("--no-exact", action="store_true",
+                    help="skip the exact COUNT(DISTINCT) leg "
+                         "(sketch-only, the corpus-scale regime)")
+    pr.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -341,6 +355,24 @@ def cmd_refresh(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """One-scan per-column profile; prints one JSON line per column."""
+    import json
+
+    from sketchlib.profile import profile_table
+    from sketchlib.session import borrowed_spark
+
+    cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns else None)
+    qs = tuple(float(q) for q in args.quantiles.split(","))
+    with borrowed_spark("sketchlib-profile", cpus=args.cpus) as spark:
+        prof = profile_table(spark, spark.read.parquet(args.parquet),
+                             cols, qs=qs, exact=not args.no_exact)
+        for row in prof.toLocalIterator():
+            print(json.dumps(row.asDict(), sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.mode == "analyze":
@@ -351,6 +383,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_append(args)
     if args.mode == "refresh":
         return cmd_refresh(args)
+    if args.mode == "profile":
+        return cmd_profile(args)
     return cmd_count(args) if args.mode == "count" else cmd_query(args)
 
 

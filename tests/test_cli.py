@@ -166,3 +166,23 @@ def test_cli_append_refresh_incremental(spark, tmp_path, capsys):
                         ["event_type"], "kh").toPandas()
     np.testing.assert_array_equal(got["est_count"].to_numpy(),
                                   got["n"].to_numpy())
+
+
+def test_cli_profile_one_scan_panel(spark, capsys):
+    """``profile`` emits one JSON line per column with the exact panel
+    (SQL-checkable counts) and exact-regime flags."""
+    import json
+
+    assert main(["profile", "--parquet",
+                 "/root/testdata/sf0.001/orders.parquet",
+                 "--columns", "o_custkey,o_orderstatus",
+                 "--quantiles", "0.5"]) == 0
+    out = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    prof = {r["column"]: r for r in out}
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert prof["o_custkey"]["n_values"] == orders.count()
+    assert (prof["o_custkey"]["n_distinct"]
+            == orders.select("o_custkey").distinct().count())
+    assert prof["o_custkey"]["within_bound"] is True
+    assert prof["o_orderstatus"]["p0_5"] is None  # non-numeric
