@@ -169,7 +169,8 @@ def q_hll_distinct_per_lang(spark, sf_dir):
     with_lang = (toks.join(docs.select("doc_id", "lang"), "doc_id")
                  .select("lang", "token", F.xxhash64("token").alias("kh")))
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
-                                     _p(HyperLogLog, _HLL_P), salt_buckets=8)
+                                     _p(HyperLogLog, _HLL_P), salt_buckets=8,
+                                     pre_distinct=True)
     est = finalize_grouped(grouped, Q.hll_estimate, "n_est", "double")
     exact = (with_lang.groupBy("lang")
              .agg(F.countDistinct("token").alias("n_distinct")))
@@ -237,7 +238,7 @@ def q_wmh_weighted_jaccard_langs(spark, sf_dir):
     with_lang = _lang_tokens(spark, sf_dir)
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
                                      _p(CountingMinHash, 1 << 17),
-                                     salt_buckets=8)
+                                     salt_buckets=8, pre_aggregate=True)
     sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
     rows = []
     for la in sorted(sks):
@@ -345,7 +346,8 @@ def q_hll_setops_langs(spark, sf_dir):
 
     with_lang = _lang_tokens(spark, sf_dir)
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
-                                     _p(HyperLogLog, _HLL_P), salt_buckets=8)
+                                     _p(HyperLogLog, _HLL_P), salt_buckets=8,
+                                     pre_distinct=True)
     # pairwise set ops need all group sketches together; lang count is
     # tiny (5) so collecting the blobs is the right plan here — the
     # per-group path stays distributed (q_hll_distinct_per_lang)
@@ -385,7 +387,7 @@ def q_minhash_jaccard_langs(spark, sf_dir):
     with_lang = _lang_tokens(spark, sf_dir)
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
                                      _p(MinHashBottomK, 1 << 17),
-                                     salt_buckets=8)
+                                     salt_buckets=8, pre_distinct=True)
     import math
 
     sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
@@ -556,7 +558,8 @@ def q_setsim_siblings_langs(spark, sf_dir):
     factories = {"hyperminhash": _p(HyperMinHash, 12, 10),
                  "onepermminhash": _p(OnePermMinHash, 10)}
     grouped = build_grouped_sketches_multi(with_lang, ["lang"], "kh",
-                                           factories, salt_buckets=8)
+                                           factories, salt_buckets=8,
+                                           pre_distinct=True)
     sks: dict = {}
     for r in grouped.collect():
         sks.setdefault(r["name"], {})[r["lang"]] = _de(bytes(r["sketch"]))

@@ -147,7 +147,9 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
 def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
                            factory: Callable[[], object],
                            as_u64: bool = True,
-                           salt_buckets: int | None = None) -> DataFrame:
+                           salt_buckets: int | None = None,
+                           pre_aggregate: bool = False,
+                           pre_distinct: bool = False) -> DataFrame:
     """One sketch per key group: ``(key..., sketch binary)`` DataFrame.
 
     Uses applyInPandas (hash exchange on the keys planned by Catalyst);
@@ -165,13 +167,19 @@ def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
     a single group of a custom aggregation — the salt must be in the
     grouping key, which is exactly what this does.
 
+    ``pre_aggregate`` / ``pre_distinct`` are the grouped analogs of
+    :func:`build_sketch`'s scale path — see
+    :func:`build_grouped_sketches_multi`.
+
     Implemented as the single-factory case of
     :func:`build_grouped_sketches_multi` so the salting and merge
     machinery exist in exactly one place.
     """
     return build_grouped_sketches_multi(
         df, key_cols, col, {"sketch": factory},
-        as_u64=as_u64, salt_buckets=salt_buckets).drop("name")
+        as_u64=as_u64, salt_buckets=salt_buckets,
+        pre_aggregate=pre_aggregate,
+        pre_distinct=pre_distinct).drop("name")
 
 
 def finalize_grouped(grouped: DataFrame, finalize: Callable[[object], object],
@@ -203,7 +211,9 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
                                  col: str,
                                  factories: dict[str, Callable[[], object]],
                                  as_u64: bool = True,
-                                 salt_buckets: int | None = None
+                                 salt_buckets: int | None = None,
+                                 pre_aggregate: bool = False,
+                                 pre_distinct: bool = False
                                  ) -> DataFrame:
     """SEVERAL named sketches per key group in ONE scan:
     ``(key..., name string, sketch binary)`` DataFrame.
@@ -215,8 +225,24 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
     :func:`build_grouped_sketches`; merges are associative &
     commutative, so per-name results are identical to independent
     build_grouped_sketches calls for order-independent sketches
-    (tested)."""
+    (tested).
+
+    Scale paths (mirroring :func:`build_sketch`): ``pre_aggregate=True``
+    collapses the stream JVM-side to ``groupBy(key..., col).count()``
+    (Tungsten hash agg, map-side combine) and feeds the kernels
+    ``update_weighted(values, counts)`` — Python input is bounded by
+    |distinct (key, value)|, not |rows|; every factory must implement
+    ``update_weighted``. ``pre_distinct=True`` instead dedups
+    ``(key..., col)`` JVM-side and keeps the plain ``update`` kernel —
+    for duplicate-INsensitive sketches (HLL / MinHash / SetSketch /
+    PCSA / Bloom), where a repeated value is a no-op by definition.
+    Both are bit-exact vs the unreduced stream for order-independent
+    sketches; pre-collapse happens BEFORE salting, so weighted rows
+    are never split across salt buckets."""
     from pyspark.sql import functions as F
+
+    if pre_aggregate and pre_distinct:
+        raise ValueError("pre_aggregate and pre_distinct are exclusive")
 
     names = sorted(factories)
     key_schema = ", ".join(
@@ -224,16 +250,28 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
         for f in df.schema if f.name in key_cols)
     out_schema = f"{key_schema}, name string, sketch binary"
 
+    if pre_aggregate:
+        df = (df.select(*key_cols, col).groupBy(*key_cols, col)
+              .agg(F.count("*").alias("__cnt")))
+    elif pre_distinct:
+        df = df.select(*key_cols, col).distinct()
+    else:
+        df = df.select(*key_cols, col)
+
     def _per_group(group_cols: list[str]):
         def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
             vals = _as_u64(pdf[col]) if as_u64 else pdf[col].to_numpy()
+            wts = pdf["__cnt"].to_numpy() if pre_aggregate else None
             head = pdf.iloc[:1][group_cols]
             out = (head.loc[head.index.repeat(len(names))]
                    .reset_index(drop=True))
             blobs = []
             for name in names:
                 sk = factories[name]()
-                sk.update(vals)
+                if pre_aggregate:
+                    sk.update_weighted(vals, wts)
+                else:
+                    sk.update(vals)
                 blobs.append(sk.to_bytes())
             out["name"] = names
             out["sketch"] = blobs
@@ -241,8 +279,7 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
         return per_group
 
     if not salt_buckets:
-        return (df.select(*key_cols, col)
-                  .groupBy(*key_cols)
+        return (df.groupBy(*key_cols)
                   .applyInPandas(_per_group(key_cols), schema=out_schema))
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -254,9 +291,8 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
         head["sketch"] = [acc.to_bytes()]
         return head
 
-    salted = (df.select(*key_cols, col)
-              .withColumn("__salt",
-                          F.pmod(F.xxhash64(col), F.lit(salt_buckets))))
+    salted = df.withColumn("__salt",
+                           F.pmod(F.xxhash64(col), F.lit(salt_buckets)))
     partials = (salted.groupBy(*key_cols, "__salt")
                 .applyInPandas(_per_group(key_cols + ["__salt"]),
                                schema=f"{key_schema}, __salt bigint, "

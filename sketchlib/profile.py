@@ -109,7 +109,8 @@ def profile_table(spark: SparkSession, df: DataFrame,
                 build_grouped_sketches(
                     melted.filter(F.col("kh").isNotNull()), ["column"],
                     "kh", partial(HyperLogLog, hll_p),
-                    salt_buckets=salt_buckets).collect()}
+                    salt_buckets=salt_buckets,
+                    pre_distinct=True).collect()}
 
         # leg 3b: per-numeric-column KLL blobs
         num_melt = melted.filter(F.col("num").isNotNull())

@@ -134,3 +134,41 @@ def test_grouped_sketches_multi_one_pass_bitexact(spark, tokens):
                 np.testing.assert_array_equal(
                     got.registers if name == "hll" else got.maps,
                     want.registers if name == "hll" else want.maps)
+
+
+def test_grouped_pre_aggregate_and_pre_distinct_bitexact(spark, tokens):
+    """The grouped scale paths must be invisible in the result:
+    pre_aggregate (JVM (key,value,count) collapse + update_weighted)
+    is bit-exact for counting sketches, pre_distinct (JVM dedup) is
+    bit-exact for duplicate-insensitive sketches — salted and not."""
+    from sketchlib.sketches.cm import CMConfig, CountMin
+    from sketchlib.sketches.mh import MinHashBottomK
+    from sketchlib.sketches.wmh import CountingMinHash
+
+    keyed = tokens.withColumn("kind", F.substring("token", 1, 1))
+
+    def blobs(factory, **kw):
+        return {r["kind"]: bytes(r["sketch"])
+                for r in build_grouped_sketches(
+                    keyed, ["kind"], "token_u64", factory, **kw).collect()}
+
+    for salt in (None, 4):
+        # counting sketches: weighted collapse must not change a cell
+        for fac, field in ((partial(CountMin, CMConfig(8, 3, 7, False)),
+                            "core"),
+                           (partial(CountingMinHash, 1 << 12), "values")):
+            plain = blobs(fac, salt_buckets=salt)
+            pre = blobs(fac, salt_buckets=salt, pre_aggregate=True)
+            for kind in plain:
+                np.testing.assert_array_equal(
+                    getattr(deserialize(plain[kind]), field),
+                    getattr(deserialize(pre[kind]), field))
+        # duplicate-insensitive sketches: dedup must be a no-op
+        for fac, field in ((partial(HyperLogLog, 12), "registers"),
+                           (partial(MinHashBottomK, 1 << 12), "values")):
+            plain = blobs(fac, salt_buckets=salt)
+            pre = blobs(fac, salt_buckets=salt, pre_distinct=True)
+            for kind in plain:
+                np.testing.assert_array_equal(
+                    getattr(deserialize(plain[kind]), field),
+                    getattr(deserialize(pre[kind]), field))
