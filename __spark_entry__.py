@@ -1003,6 +1003,36 @@ def q_profile_orders(spark, sf_dir):
             .orderBy("col_name"))
 
 
+def q_weighted_sample_orders(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sample
+    (sketchlib/sampling.py): 100 orders drawn proportional to
+    o_totalprice, without replacement. STRICT gate in the true
+    sampling regime (k << n): the md5-derived rank key is a pure
+    function of (seed, o_orderkey) that DuckDB recomputes
+    bit-identically, so the oracle selects the same 100 rows. Plan is
+    TakeOrderedAndProject — per-task top-k, no corpus shuffle."""
+    from sketchlib.sampling import weighted_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return (weighted_sample(orders.select("o_orderkey", "o_totalprice"),
+                            100, ["o_orderkey"], "o_totalprice", seed=7)
+            .orderBy("o_orderkey"))
+
+
+def q_stratified_sample_events(spark, sf_dir):
+    """Per-stratum deterministic uniform sample: 50 events per
+    event_type by descending md5-derived u (no transcendental in the
+    uniform key — the oracle equality is exact arithmetic). One hash
+    exchange on the strata; same strict-gate argument as
+    weighted_sample_orders."""
+    from sketchlib.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return (stratified_sample(ev.select("event_type", "event_id"),
+                              ["event_type"], 50, ["event_id"], seed=11)
+            .orderBy("event_type", "event_id"))
+
+
 def q_incremental_cm_user_freq(spark, sf_dir):
     """Incremental sketch-table maintenance: a per-event_type CM
     sketch table (Icebergish snapshots, sketchlib/incremental.py) is
@@ -1143,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_window": q_top_customers_window,
         "user_sessions": q_user_sessions,
         "profile_orders": q_profile_orders,
+        "weighted_sample_orders": q_weighted_sample_orders,
+        "stratified_sample_events": q_stratified_sample_events,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
         "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
     }
@@ -1319,6 +1351,23 @@ prof AS (
 SELECT p.col_name, p.n_values, p.n_distinct, p.within_bound, m.p0_5
 FROM prof p LEFT JOIN med m USING (col_name)
 ORDER BY p.col_name"""),
+        "weighted_sample_orders": ("""
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         ln((CAST(concat('0x', substr(md5(concat_ws(chr(31), '7',
+                CAST(o_orderkey AS VARCHAR))), 1, 13)) AS BIGINT) + 0.5)
+            / 4503599627370496.0) / o_totalprice AS p
+  FROM orders)
+ORDER BY p DESC, o_orderkey LIMIT 100"""),
+        "stratified_sample_events": ("""
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY
+           (CAST(concat('0x', substr(md5(concat_ws(chr(31), '11',
+              CAST(event_id AS VARCHAR))), 1, 13)) AS BIGINT) + 0.5)
+           / 4503599627370496.0 DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 50 ORDER BY event_type, event_id"""),
         "incremental_cm_user_freq": (
             "SELECT event_type, user_id, COUNT(*) AS est_count "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

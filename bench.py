@@ -96,7 +96,8 @@ def main() -> int:
                  "ann_ivf_topk",
                  "lang_id", "quality_score", "multimodal_features",
                  "pricing_summary", "top_customers_window",
-                 "user_sessions", "profile_orders"]:
+                 "user_sessions", "profile_orders",
+                 "weighted_sample_orders", "stratified_sample_events"]:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
