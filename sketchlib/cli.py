@@ -152,6 +152,24 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="skip the exact COUNT(DISTINCT) leg "
                          "(sketch-only, the corpus-scale regime)")
     pr.add_argument("--cpus", type=int, default=None)
+
+    sa = sub.add_parser(
+        "sample",
+        help="deterministic weighted/stratified sample of a parquet "
+             "table (Efraimidis-Spirakis, reproducible by seed)")
+    sa.add_argument("--parquet", required=True, help="table to sample")
+    sa.add_argument("-k", type=int, required=True,
+                    help="rows to keep (per stratum with --strata)")
+    sa.add_argument("--id-cols", required=True,
+                    help="comma-separated row-identity columns")
+    sa.add_argument("--weight", help="weight column (> 0); "
+                                     "omit for uniform sampling")
+    sa.add_argument("--strata", help="comma-separated strata columns "
+                                     "(per-stratum k instead of global)")
+    sa.add_argument("--seed", type=int, default=0)
+    sa.add_argument("-o", "--output", required=True,
+                    help="output parquet path")
+    sa.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -373,6 +391,27 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic E-S sample to parquet."""
+    from sketchlib.sampling import stratified_sample, weighted_sample
+    from sketchlib.session import borrowed_spark
+
+    id_cols = [c.strip() for c in args.id_cols.split(",") if c.strip()]
+    with borrowed_spark("sketchlib-sample", cpus=args.cpus) as spark:
+        df = spark.read.parquet(args.parquet)
+        if args.strata:
+            strata = [c.strip() for c in args.strata.split(",") if c.strip()]
+            out = stratified_sample(df, strata, args.k, id_cols,
+                                    args.weight, seed=args.seed)
+        else:
+            out = weighted_sample(df, args.k, id_cols,
+                                  args.weight, seed=args.seed)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    print(f"wrote {args.output} ({n} rows, seed {args.seed})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.mode == "analyze":
@@ -385,6 +424,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_refresh(args)
     if args.mode == "profile":
         return cmd_profile(args)
+    if args.mode == "sample":
+        return cmd_sample(args)
     return cmd_count(args) if args.mode == "count" else cmd_query(args)
 
 

@@ -186,3 +186,28 @@ def test_cli_profile_one_scan_panel(spark, capsys):
             == orders.select("o_custkey").distinct().count())
     assert prof["o_custkey"]["within_bound"] is True
     assert prof["o_orderstatus"]["p0_5"] is None  # non-numeric
+
+
+def test_cli_sample_deterministic(spark, tmp_path, capsys):
+    """``sample`` writes the same rows for the same seed regardless of
+    run, and per-stratum k with --strata."""
+    out1 = str(tmp_path / "s1")
+    out2 = str(tmp_path / "s2")
+    argv = ["sample", "--parquet",
+            "/root/testdata/sf0.001/orders.parquet", "-k", "10",
+            "--id-cols", "o_orderkey", "--weight", "o_totalprice",
+            "--seed", "5"]
+    assert main(argv + ["-o", out1]) == 0
+    assert main(argv + ["-o", out2]) == 0
+    a = sorted(r["o_orderkey"] for r in spark.read.parquet(out1).collect())
+    b = sorted(r["o_orderkey"] for r in spark.read.parquet(out2).collect())
+    assert a == b and len(a) == 10
+
+    st = str(tmp_path / "s3")
+    assert main(["sample", "--parquet",
+                 "/root/testdata/sf0.001/orders.parquet", "-k", "4",
+                 "--id-cols", "o_orderkey", "--strata", "o_orderstatus",
+                 "-o", st]) == 0
+    got = (spark.read.parquet(st).groupBy("o_orderstatus").count()
+           .collect())
+    assert all(r["count"] == 4 for r in got) and len(got) >= 2
