@@ -1033,6 +1033,57 @@ def q_stratified_sample_events(spark, sf_dir):
             .orderBy("event_type", "event_id"))
 
 
+def q_join_size_countsketch(spark, sf_dir):
+    """AMS/AGMS join-size estimation (sketchlib/joins.py): |orders ⋈
+    events on o_custkey = user_id| from two independent 4-wise
+    count-sketch builds — no join executed for the estimate; this is
+    the planner-side cardinality a cost-based optimizer wants.
+    Strict gate: n_join is the exact join count (SQL-reproducible)
+    and within_bound asserts |est − exact| <= 6·||f_A||2||f_B||2/√w
+    (deterministic given seeds). w=2^18 sizes the blob to the key
+    space (14.7 MB vs 235 MB at 2^22) — the bound, not collision-free
+    exactness, is what the gate asserts."""
+    import math
+
+    from sketchlib.joins import join_size_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    np_bits = 18
+    est = join_size_estimate(orders, "o_custkey", events, "user_id",
+                             np_bits=np_bits, nh=7)
+    exact = orders.join(events,
+                        orders.o_custkey == events.user_id).count()
+    f2a = (orders.groupBy("o_custkey").count()
+           .agg(F.sum(F.col("count") ** 2)).collect()[0][0])
+    f2b = (events.groupBy("user_id").count()
+           .agg(F.sum(F.col("count") ** 2)).collect()[0][0])
+    bound = 6.0 * math.sqrt(float(f2a) * float(f2b) / (1 << np_bits))
+    return spark.createDataFrame(
+        [(int(exact), bool(abs(est - exact) <= bound))],
+        "n_join long, within_bound boolean")
+
+
+def q_bloom_semijoin_lineitem(spark, sf_dir):
+    """Bloom-prefiltered semi-join (sketchlib/joins.py): lineitem
+    rows whose order is status-'F', pre-filtered by a broadcast Bloom
+    blob BEFORE the exchange (matches + fp·non-matches shuffle
+    instead of the whole fact side), exact semi-join on the
+    survivors. Row-identical to the plain semi-join — the gate
+    aggregates the full result so every surviving/dropped row
+    counts."""
+    from sketchlib.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    got = bloom_semi_join(spark, li, "l_orderkey", dim, "o_orderkey",
+                          p=20)
+    return (got.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("l_quantity").alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
 def q_incremental_cm_user_freq(spark, sf_dir):
     """Incremental sketch-table maintenance: a per-event_type CM
     sketch table (Icebergish snapshots, sketchlib/incremental.py) is
@@ -1175,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "weighted_sample_orders": q_weighted_sample_orders,
         "stratified_sample_events": q_stratified_sample_events,
+        "join_size_countsketch": q_join_size_countsketch,
+        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
         "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
     }
@@ -1368,6 +1421,17 @@ SELECT event_type, event_id FROM (
            / 4503599627370496.0 DESC, event_id) AS rn
   FROM events)
 WHERE rn <= 50 ORDER BY event_type, event_id"""),
+        "join_size_countsketch": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_join, "
+            "TRUE AS within_bound FROM orders "
+            "JOIN events ON o_custkey = user_id"),
+        "bloom_semijoin_lineitem": ("""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag ORDER BY l_returnflag"""),
         "incremental_cm_user_freq": (
             "SELECT event_type, user_id, COUNT(*) AS est_count "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

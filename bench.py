@@ -97,7 +97,8 @@ def main() -> int:
                  "lang_id", "quality_score", "multimodal_features",
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
-                 "weighted_sample_orders", "stratified_sample_events"]:
+                 "weighted_sample_orders", "stratified_sample_events",
+                 "join_size_countsketch", "bloom_semijoin_lineitem"]:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

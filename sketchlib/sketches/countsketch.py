@@ -76,6 +76,20 @@ class CountSketch:
         per_row = signs * self.core[rows, cols]
         return np.median(per_row, axis=0).astype(_I64)
 
+    def inner_product(self, other: "CountSketch") -> float:
+        """AMS/AGMS join-size estimate <f_A, f_B> = SUM_k f_A(k)f_B(k)
+        (Alon-Matias-Szegedy STOC'96; Dobra et al. SIGMOD'02): the two
+        sketches share the hash family, so per row the cellwise dot
+        picks up f_A(k)f_B(k)·sign(k)^2 = f_A(k)f_B(k) for every key
+        plus zero-mean cross terms; the row-median bounds the error by
+        ||f_A||_2 ||f_B||_2 / sqrt(w) w.h.p. At collision-free width
+        each row is EXACT (cross terms vanish), which is how the
+        driver query strict-gates it."""
+        assert (self.np_bits, self.nh, self.seed) == \
+               (other.np_bits, other.nh, other.seed)
+        per_row = (self.core * other.core).sum(axis=1)
+        return float(np.median(per_row))
+
     # ------------------------------------------------------------ merge
     def merge(self, other: "CountSketch") -> "CountSketch":
         assert (self.np_bits, self.nh, self.seed) == \
@@ -85,9 +99,13 @@ class CountSketch:
 
     # -------------------------------------------------------- serialize
     def to_bytes(self) -> bytes:
-        return (self.MAGIC
-                + struct.pack("<BIIQ", 1, self.np_bits, self.nh, self.seed)
-                + self.core.astype("<i8").tobytes())
+        # copy=False: on little-endian hosts the core already IS <i8,
+        # so the only copy is the unavoidable tobytes() — at w=2^22 the
+        # core is 235 MB and a redundant astype copy is measurable
+        return b"".join((
+            self.MAGIC,
+            struct.pack("<BIIQ", 1, self.np_bits, self.nh, self.seed),
+            self.core.astype("<i8", copy=False).tobytes()))
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountSketch":

@@ -106,6 +106,15 @@ class CountSketch4W:
         per_row = signs * self.core[rows, cols]
         return np.median(per_row, axis=0).astype(_I64)
 
+    def inner_product(self, other: "CountSketch4W") -> float:
+        """AMS join-size estimate (see CountSketch.inner_product) —
+        here with the genuinely 4-wise-independent polynomial hashes
+        the AMS variance analysis assumes."""
+        assert (self.np_bits, self.nh, self.seed) == \
+            (other.np_bits, other.nh, other.seed)
+        per_row = (self.core * other.core).sum(axis=1)
+        return float(np.median(per_row))
+
     def merge(self, other: "CountSketch4W") -> "CountSketch4W":
         assert (self.np_bits, self.nh, self.seed) == \
             (other.np_bits, other.nh, other.seed)
@@ -113,9 +122,11 @@ class CountSketch4W:
         return self
 
     def to_bytes(self) -> bytes:
-        return (self.MAGIC
-                + struct.pack("<BIIQ", 1, self.np_bits, self.nh, self.seed)
-                + self.core.astype("<i8").tobytes())
+        # copy=False — see CountSketch.to_bytes
+        return b"".join((
+            self.MAGIC,
+            struct.pack("<BIIQ", 1, self.np_bits, self.nh, self.seed),
+            self.core.astype("<i8", copy=False).tobytes()))
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountSketch4W":
