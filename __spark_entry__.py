@@ -1084,6 +1084,69 @@ def q_bloom_semijoin_lineitem(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def q_asof_join_error_click(spark, sf_dir):
+    """Event-time as-of join (sketchlib/joins.py:asof_join): each
+    'error' event matched to the same user's most recent 'click' at or
+    before it — tagged-union + per-key running last, ONE shuffle, no
+    range cross-product. Strict gate vs DuckDB's native ASOF LEFT
+    JOIN: per-user match counts and the summed error→click gap in
+    microseconds (tie-insensitive — identical whichever of two
+    equal-ts clicks wins)."""
+    from sketchlib.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    j = asof_join(errors, clicks, on="user_id",
+                  left_ts="ts", right_ts="ts")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_errors"),
+                 F.count("asof_ts").alias("n_matched"),
+                 F.coalesce(
+                     F.sum(F.expr(
+                         "timestampdiff(MICROSECOND, asof_ts, ts)")),
+                     F.lit(0)).alias("sum_gap_us"))
+            .orderBy("user_id"))
+
+
+def q_hll_rollup_docs(spark, sf_dir):
+    """Hypertable rollup (sketchlib/aggregate.py:
+    rollup_grouped_sketches): per-(lang, source) HLLs of distinct doc
+    texts built in ONE scan, then lang-level and grand-total sketches
+    derived by MERGING the child blobs — never rescanning the corpus.
+    Finalized distributed. Strict gate: exact GROUP BY ROLLUP distinct
+    counts (SQL-reproducible) + the 6-sigma within_bound flag on the
+    real HLL estimates at every level."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import (build_grouped_sketches,
+                                     finalize_grouped,
+                                     rollup_grouped_sketches)
+    from sketchlib.sketches.hll import HyperLogLog
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("lang", "source",
+                        F.xxhash64("text").alias("kh"))
+    grouped = build_grouped_sketches(keyed, ["lang", "source"], "kh",
+                                     _p(HyperLogLog, _HLL_P),
+                                     pre_distinct=True)
+    rolled = rollup_grouped_sketches(grouped, ["lang", "source"])
+    est = finalize_grouped(rolled, Q.hll_estimate, "n_est", "double")
+    exact = (docs.rollup("lang", "source")
+             .agg(F.countDistinct("text").alias("n_distinct")))
+    cond = (est["lang"].eqNullSafe(exact["lang"])
+            & est["source"].eqNullSafe(exact["source"]))
+    return (est.join(exact, cond)
+            .select(est["lang"], est["source"], exact["n_distinct"],
+                    (F.abs(F.col("n_est") - F.col("n_distinct"))
+                     <= F.lit(_HLL_BOUND) * F.col("n_distinct"))
+                    .alias("within_bound"))
+            .orderBy(F.asc_nulls_first("lang"),
+                     F.asc_nulls_first("source")))
+
+
 def q_incremental_cm_user_freq(spark, sf_dir):
     """Incremental sketch-table maintenance: a per-event_type CM
     sketch table (Icebergish snapshots, sketchlib/incremental.py) is
@@ -1228,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_events": q_stratified_sample_events,
         "join_size_countsketch": q_join_size_countsketch,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "asof_join_error_click": q_asof_join_error_click,
+        "hll_rollup_docs": q_hll_rollup_docs,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
         "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
     }
@@ -1432,6 +1497,23 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "asof_join_error_click": ("""
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(epoch_us(e.ts) - epoch_us(c.ts)), 0)
+            AS BIGINT) AS sum_gap_us
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN
+     (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+GROUP BY e.user_id ORDER BY e.user_id"""),
+        "hll_rollup_docs": ("""
+SELECT lang, source,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       TRUE AS within_bound
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
         "incremental_cm_user_freq": (
             "SELECT event_type, user_id, COUNT(*) AS est_count "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

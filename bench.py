@@ -98,7 +98,8 @@ def main() -> int:
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",
-                 "join_size_countsketch", "bloom_semijoin_lineitem"]:
+                 "join_size_countsketch", "bloom_semijoin_lineitem",
+                 "asof_join_error_click", "hll_rollup_docs"]:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

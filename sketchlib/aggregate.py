@@ -302,6 +302,68 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
             .applyInPandas(merge_group, schema=out_schema))
 
 
+def rollup_grouped_sketches(grouped: DataFrame,
+                            key_cols: list[str],
+                            tree_width: int = 8) -> DataFrame:
+    """SQL ``ROLLUP`` over an already-built grouped sketch table —
+    the hypertable-rollup pattern: level *i* is produced by MERGING
+    level *i+1*'s blobs (never by rescanning the base data), so a
+    full (k1..kn), (k1..kn-1), …, () hierarchy costs ONE base scan
+    plus n tiny blob-count shuffles. Requires an order-independent
+    merge (HLL max / Bloom OR / CM sum / MinHash trim — every
+    registered sketch except the strict sequential kernels), for which
+    each level is bit-identical to a direct build at that granularity.
+
+    Input: ``(k1..kn, sketch binary)`` at the finest granularity
+    (:func:`build_grouped_sketches` output). Output: the union of all
+    n+1 levels with rolled-up key columns NULL, exactly the row set
+    ``GROUP BY ROLLUP (k1..kn)`` produces — finalize with
+    :func:`finalize_grouped` and compare against a GROUPING-SETS
+    oracle. The grand-total level folds through ``tree_width``
+    partitions before the final single-task merge, so driver-free
+    fan-in stays bounded at any group count."""
+    from pyspark.sql import functions as F
+
+    key_fields = {f.name: f.dataType.simpleString()
+                  for f in grouped.schema if f.name != "sketch"}
+    assert list(key_fields) == key_cols, (list(key_fields), key_cols)
+
+    def _pad(df: DataFrame, present: list[str]) -> DataFrame:
+        cols = [F.col(k) if k in present
+                else F.lit(None).cast(key_fields[k]).alias(k)
+                for k in key_cols]
+        return df.select(*cols, "sketch")
+
+    def merge_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["sketch"]:
+            sk = deserialize(bytes(b))
+            acc = sk if acc is None else acc.merge(sk)
+        head = pdf.iloc[:1].drop(columns=["sketch"]).copy()
+        head["sketch"] = [acc.to_bytes()]
+        return head
+
+    levels = [_pad(grouped, key_cols)]
+    cur = grouped
+    for i in range(len(key_cols) - 1, -1, -1):
+        keys = key_cols[:i]
+        if keys:
+            schema = ", ".join(f"{k} {key_fields[k]}" for k in keys) \
+                + ", sketch binary"
+            cur = (cur.select(*keys, "sketch").groupBy(*keys)
+                   .applyInPandas(merge_blobs, schema=schema))
+        else:
+            cur = (cur.select("sketch").repartition(tree_width)
+                   .mapInPandas(_fold_blob_rows, schema="sketch binary")
+                   .coalesce(1)
+                   .mapInPandas(_fold_blob_rows, schema="sketch binary"))
+        levels.append(_pad(cur, keys))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def build_sketches_multi(df: DataFrame, col: str,
                          factories: dict[str, Callable[[], object]],
                          tree_width: int = 8, as_u64: bool = True,

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from sketchlib.aggregate import build_sketch
 from sketchlib.queries import _cached_sketch
 
-__all__ = ["join_size_estimate", "bloom_semi_join"]
+__all__ = ["join_size_estimate", "bloom_semi_join", "asof_join"]
 
 
 def join_size_estimate(df_a: DataFrame, col_a: str,
@@ -75,6 +75,62 @@ def join_size_estimate(df_a: DataFrame, col_a: str,
                         factory, pre_aggregate=True,
                         kernel_partitions=kernel_partitions)
     return sk_a.inner_product(sk_b)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None,
+              direction: str = "backward",
+              matched_ts: str = "asof_ts") -> DataFrame:
+    """Event-time as-of join: each left row picks the nearest right row
+    of the same key at-or-before (``backward``) / at-or-after
+    (``forward``) its timestamp — the operator Spark's DataFrame API
+    lacks (pandas ``merge_asof`` semantics, inclusive).
+
+    Physical plan: tag both sides, union, ONE hash exchange on the key,
+    and a per-key running ``last(right_payload, ignorenulls=True)`` over
+    the (ts, side) sort — right rows sort before left rows at equal ts,
+    so the match is inclusive. No range cross-product, no per-key
+    collect: cost is one shuffle + one per-partition sort regardless of
+    how many right rows precede each left row. Output is the left rows
+    plus ``matched_ts`` (NULL when no right row qualifies) and the
+    requested ``right_cols``.
+
+    Ties: among right rows sharing (key, ts) the survivor is the last
+    in partition sort order — unspecified, exactly as SQL ASOF JOIN
+    leaves it; aggregate tie-insensitively (e.g. on the matched ts)
+    when ties are possible. A single pathological key funnels into one
+    task (the running last needs total per-key time order); salting
+    cannot help here — range-partition such keys upstream if one key
+    exceeds a task's memory."""
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    right_cols = list(right_cols or [])
+    payload = F.struct(
+        F.col(right_ts).alias(matched_ts),
+        *[F.col(c) for c in right_cols])
+    r = right.select(F.col(on).alias("__asof_k"),
+                     F.col(right_ts).alias("__asof_t"),
+                     F.lit(0).alias("__asof_side"),
+                     payload.alias("__asof_r"))
+    l = (left.withColumn("__asof_k", F.col(on))
+             .withColumn("__asof_t", F.col(left_ts))
+             .withColumn("__asof_side", F.lit(1)))
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("__asof_t").asc(), F.col("__asof_side").asc()] \
+        if direction == "backward" \
+        else [F.col("__asof_t").desc(), F.col("__asof_side").asc()]
+    w = (Window.partitionBy("__asof_k").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = (u.withColumn("__asof_m",
+                            F.last("__asof_r", ignorenulls=True).over(w))
+               .filter(F.col("__asof_side") == 1))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__asof_m.{matched_ts}").alias(matched_ts))
+    out_cols += [F.col(f"__asof_m.{c}").alias(c) for c in right_cols]
+    return matched.select(*out_cols)
 
 
 def bloom_semi_join(spark: SparkSession, fact: DataFrame, fact_key: str,

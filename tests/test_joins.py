@@ -72,3 +72,77 @@ def test_bloom_semi_join_empty_dim(spark, sides):
     a, b = sides
     dim = b.filter(F.col("k") < 0)
     assert bloom_semi_join(spark, a, "k", dim, "k", p=16).count() == 0
+
+
+# ---------------------------------------------------------------- as-of
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 100.0, "e1"), (1, 205.0, "e2"), (2, 50.0, "e3"),
+         (3, 10.0, "e4")],
+        "k long, t double, lid string")
+    right = spark.createDataFrame(
+        [(1, 100.0, "r1"), (1, 200.0, "r2"), (1, 300.0, "r3"),
+         (2, 60.0, "r4")],
+        "k long, t double, rid string")
+    return left, right
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    from sketchlib.joins import asof_join
+    left, right = _asof_fixture(spark)
+    got = {r["lid"]: (r["rid"], r["asof_ts"])
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              right_ts="t", right_cols=["rid"]).collect()}
+    assert got == {"e1": ("r1", 100.0),   # inclusive at equal ts
+                   "e2": ("r2", 200.0),   # most recent preceding
+                   "e3": (None, None),    # right rows only after
+                   "e4": (None, None)}    # key absent from right
+
+
+def test_asof_forward(spark):
+    from sketchlib.joins import asof_join
+    left, right = _asof_fixture(spark)
+    got = {r["lid"]: r["rid"]
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              right_ts="t", right_cols=["rid"],
+                              direction="forward").collect()}
+    assert got == {"e1": "r1", "e2": "r3", "e3": "r4", "e4": None}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized parity with pandas.merge_asof (backward, inclusive)
+    on multi-key interleaved data."""
+    import numpy as np
+    import pandas as pd
+    from sketchlib.joins import asof_join
+    rng = np.random.default_rng(7)
+    lp = pd.DataFrame({"k": rng.integers(0, 5, 200),
+                       "t": rng.integers(0, 1000, 200).astype("float64"),
+                       "lid": np.arange(200)})
+    rp = pd.DataFrame({"k": rng.integers(0, 5, 150),
+                       "t": rng.integers(0, 1000, 150).astype("float64"),
+                       "rv": np.arange(150)})
+    # unique (k, t) on the right so the tie rule can't differ
+    rp = rp.drop_duplicates(["k", "t"])
+    want = pd.merge_asof(lp.sort_values("t", kind="stable"),
+                         rp.sort_values("t", kind="stable"),
+                         on="t", by="k", direction="backward")
+    want = want.sort_values("lid")["rv"].tolist()
+    got_df = asof_join(spark.createDataFrame(lp), spark.createDataFrame(rp),
+                       on="k", left_ts="t", right_ts="t",
+                       right_cols=["rv"]).toPandas()
+    got = got_df.sort_values("lid")["rv"].tolist()
+    assert [(-1 if pd.isna(x) else x) for x in got] == \
+           [(-1 if pd.isna(x) else x) for x in want]
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The as-of plan must contain exactly ONE shuffle exchange (the
+    key hash partitioning for the window) — no join exchange, no
+    range cross-product."""
+    from tests.conftest import n_shuffles, plan_of
+    from sketchlib.joins import asof_join
+    left, right = _asof_fixture(spark)
+    j = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                  right_cols=["rid"])
+    assert n_shuffles(plan_of(j)) == 1
