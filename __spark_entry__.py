@@ -1084,6 +1084,33 @@ def q_bloom_semijoin_lineitem(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def q_range_join_ship_window(spark, sf_dir):
+    """Interval (range) join (sketchlib/joins.py:range_join): lineitems
+    shipped inside their order's 30-day fulfillment window
+    [o_orderdate, +30d), as a bucketed equi-join on (day-bucket,
+    orderkey) + residual filter — Catalyst would plan the bare
+    inequality join as a BroadcastNestedLoopJoin. Strict gate: exact
+    per-priority pair counts and quantity sums (l_quantity is
+    integer-valued, so the double sum is order-independent)."""
+    from sketchlib.joins import range_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.datediff(F.to_date("l_shipdate"), epoch).alias("pd"),
+                  "l_quantity"))
+    od = (_t(spark, sf_dir, "orders")
+          .select(F.col("o_orderkey").alias("okey"), "o_orderpriority",
+                  F.datediff(F.to_date("o_orderdate"), epoch).alias("s")))
+    od = od.withColumn("e", F.col("s") + 30)
+    j = range_join(li, "pd", od, "s", "e", bucket_width=30,
+                   keys=["okey"])
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("l_quantity").alias("sum_qty"))
+            .orderBy("o_orderpriority"))
+
+
 def q_asof_join_error_click(spark, sf_dir):
     """Event-time as-of join (sketchlib/joins.py:asof_join): each
     'error' event matched to the same user's most recent 'click' at or
@@ -1291,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_events": q_stratified_sample_events,
         "join_size_countsketch": q_join_size_countsketch,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
@@ -1497,6 +1525,15 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "range_join_ship_window": ("""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       SUM(l_quantity) AS sum_qty
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
         "asof_join_error_click": ("""
 SELECT e.user_id,
        CAST(COUNT(*) AS BIGINT) AS n_errors,

@@ -99,7 +99,8 @@ def main() -> int:
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",
                  "join_size_countsketch", "bloom_semijoin_lineitem",
-                 "asof_join_error_click", "hll_rollup_docs"]:
+                 "asof_join_error_click", "hll_rollup_docs",
+                 "range_join_ship_window"]:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

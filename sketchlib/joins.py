@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from sketchlib.aggregate import build_sketch
 from sketchlib.queries import _cached_sketch
 
-__all__ = ["join_size_estimate", "bloom_semi_join", "asof_join"]
+__all__ = ["join_size_estimate", "bloom_semi_join", "asof_join",
+           "range_join"]
 
 
 def join_size_estimate(df_a: DataFrame, col_a: str,
@@ -131,6 +132,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     out_cols.append(F.col(f"__asof_m.{matched_ts}").alias(matched_ts))
     out_cols += [F.col(f"__asof_m.{c}").alias(c) for c in right_cols]
     return matched.select(*out_cols)
+
+
+def range_join(points: DataFrame, point_col: str,
+               intervals: DataFrame, start_col: str, end_col: str,
+               bucket_width: int,
+               keys: list[str] | None = None) -> DataFrame:
+    """Point-in-interval join: rows of ``points`` matched to rows of
+    ``intervals`` where ``start_col <= point_col < end_col`` (plus
+    optional equi-``keys``), as a BUCKETED EQUI-JOIN instead of the
+    O(|P|·|I|) BroadcastNestedLoopJoin Catalyst plans for a bare
+    inequality join.
+
+    Physical plan: each interval explodes into the ``len/w + 1``
+    buckets it overlaps (``sequence(floor(s/w), floor((e-1)/w))``,
+    end-exclusive), each point hashes to ``floor(p/w)``; a shuffled
+    hash join on (bucket [, keys]) then a residual range filter keep
+    exactly the qualifying pairs — each pair produced once, because a
+    point's single bucket meets a given interval at most once.
+    Columns must be integral (cast timestamps to epoch days/seconds
+    first). Pick ``bucket_width`` near the typical interval length:
+    replication is interval_len/w per interval while bucket fan-in
+    grows with w, so w ~ len balances both at any data size."""
+    assert bucket_width >= 1
+    keys = list(keys or [])
+    w = F.lit(int(bucket_width))
+    iv = intervals.withColumn(
+        "__rj_b",
+        F.explode(F.sequence(F.floor(F.col(start_col) / w),
+                             F.floor((F.col(end_col) - 1) / w))))
+    pt = points.withColumn("__rj_b", F.floor(F.col(point_col) / w))
+    cond = [pt["__rj_b"] == iv["__rj_b"]]
+    cond += [pt[k] == iv[k] for k in keys]
+    joined = (pt.join(iv, cond)
+              .filter((pt[point_col] >= iv[start_col])
+                      & (pt[point_col] < iv[end_col])))
+    out = [pt[c] for c in points.columns]
+    out += [iv[c] for c in intervals.columns if c not in keys]
+    return joined.select(*out)
 
 
 def bloom_semi_join(spark: SparkSession, fact: DataFrame, fact_key: str,

@@ -146,3 +146,46 @@ def test_asof_single_shuffle_plan(spark):
     j = asof_join(left, right, on="k", left_ts="t", right_ts="t",
                   right_cols=["rid"])
     assert n_shuffles(plan_of(j)) == 1
+
+
+# ---------------------------------------------------------------- range
+def test_range_join_matches_bruteforce(spark):
+    """Pure interval join (no equi keys), every bucket_width: output
+    pairs == the O(n*m) cross-filter, each exactly once."""
+    import itertools
+    pts = [(i, 3 * i % 97) for i in range(60)]
+    ivs = [(j, 7 * j % 89, 7 * j % 89 + (j % 13)) for j in range(40)]
+    p = spark.createDataFrame(pts, "pid long, v long")
+    iv = spark.createDataFrame(ivs, "iid long, s long, e long")
+    want = sorted((pi, ii) for (pi, v), (ii, s, e)
+                  in itertools.product(pts, ivs) if s <= v < e)
+    from sketchlib.joins import range_join
+    for w in (1, 4, 13, 50):
+        got = sorted((r["pid"], r["iid"])
+                     for r in range_join(p, "v", iv, "s", "e",
+                                         bucket_width=w).collect())
+        assert got == want, w
+
+
+def test_range_join_keyed_and_negative_values(spark):
+    from sketchlib.joins import range_join
+    p = spark.createDataFrame(
+        [(1, -5), (1, 0), (2, -5), (1, 7)], "k long, v long")
+    iv = spark.createDataFrame(
+        [(1, -6, 1), (2, -10, -4), (1, 5, 6)], "k long, s long, e long")
+    got = sorted((r["k"], r["v"], r["s"])
+                 for r in range_join(p, "v", iv, "s", "e",
+                                     bucket_width=3, keys=["k"]).collect())
+    assert got == [(1, -5, -6), (1, 0, -6), (2, -5, -10)]
+
+
+def test_range_join_plans_hash_join_not_bnlj(spark):
+    """The whole point: a shuffled/broadcast HASH join on the bucket,
+    never BroadcastNestedLoopJoin."""
+    from tests.conftest import plan_of
+    from sketchlib.joins import range_join
+    p = spark.range(100).select(F.col("id").alias("v"))
+    iv = spark.range(50).select(F.col("id").alias("s"),
+                                (F.col("id") + 5).alias("e"))
+    plan = plan_of(range_join(p, "v", iv, "s", "e", bucket_width=5))
+    assert "NestedLoop" not in plan and "HashJoin" in plan
