@@ -1174,6 +1174,40 @@ def q_hll_rollup_docs(spark, sf_dir):
                      F.asc_nulls_first("source")))
 
 
+def q_hll_cube_docs(spark, sf_dir):
+    """GROUP BY CUBE analog (sketchlib/aggregate.py:
+    cube_grouped_sketches): all 2^2 grouping sets of (lang, source)
+    HLLs, every coarser set merged from the finest blobs — one corpus
+    scan. Strict gate like hll_rollup_docs: exact CUBE distinct counts
+    + 6-sigma bound flags."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import (build_grouped_sketches,
+                                     cube_grouped_sketches,
+                                     finalize_grouped)
+    from sketchlib.sketches.hll import HyperLogLog
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("lang", "source",
+                        F.xxhash64("text").alias("kh"))
+    grouped = build_grouped_sketches(keyed, ["lang", "source"], "kh",
+                                     _p(HyperLogLog, _HLL_P),
+                                     pre_distinct=True)
+    cubed = cube_grouped_sketches(grouped, ["lang", "source"])
+    est = finalize_grouped(cubed, Q.hll_estimate, "n_est", "double")
+    exact = (docs.cube("lang", "source")
+             .agg(F.countDistinct("text").alias("n_distinct")))
+    cond = (est["lang"].eqNullSafe(exact["lang"])
+            & est["source"].eqNullSafe(exact["source"]))
+    return (est.join(exact, cond)
+            .select(est["lang"], est["source"], exact["n_distinct"],
+                    (F.abs(F.col("n_est") - F.col("n_distinct"))
+                     <= F.lit(_HLL_BOUND) * F.col("n_distinct"))
+                    .alias("within_bound"))
+            .orderBy(F.asc_nulls_first("lang"),
+                     F.asc_nulls_first("source")))
+
+
 def q_incremental_cm_user_freq(spark, sf_dir):
     """Incremental sketch-table maintenance: a per-event_type CM
     sketch table (Icebergish snapshots, sketchlib/incremental.py) is
@@ -1321,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
+        "hll_cube_docs": q_hll_cube_docs,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
         "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
     }
@@ -1550,6 +1585,12 @@ SELECT lang, source,
        CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
        TRUE AS within_bound
 FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
+        "hll_cube_docs": ("""
+SELECT lang, source,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       TRUE AS within_bound
+FROM documents GROUP BY CUBE (lang, source)
 ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
         "incremental_cm_user_freq": (
             "SELECT event_type, user_id, COUNT(*) AS est_count "

@@ -302,6 +302,36 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
             .applyInPandas(merge_group, schema=out_schema))
 
 
+def _merge_blob_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: fold one group's blobs into one."""
+    acc = None
+    for b in pdf["sketch"]:
+        sk = deserialize(bytes(b))
+        acc = sk if acc is None else acc.merge(sk)
+    head = pdf.iloc[:1].drop(columns=["sketch"]).copy()
+    head["sketch"] = [acc.to_bytes()]
+    return head
+
+
+def _merge_to_level(grouped: DataFrame, keys: list[str],
+                    key_fields: dict[str, str],
+                    tree_width: int) -> DataFrame:
+    """Merge a grouped sketch table down to granularity ``keys``
+    (empty = grand total via a tree_width-way parallel fold; the
+    repartition(1) barrier — NOT coalesce — keeps the fold stage its
+    own parallel stage and ships only tree_width folded blobs to the
+    final task)."""
+    if keys:
+        schema = ", ".join(f"{k} {key_fields[k]}" for k in keys) \
+            + ", sketch binary"
+        return (grouped.select(*keys, "sketch").groupBy(*keys)
+                .applyInPandas(_merge_blob_group, schema=schema))
+    return (grouped.select("sketch").repartition(tree_width)
+            .mapInPandas(_fold_blob_rows, schema="sketch binary")
+            .repartition(1)
+            .mapInPandas(_fold_blob_rows, schema="sketch binary"))
+
+
 def rollup_grouped_sketches(grouped: DataFrame,
                             key_cols: list[str],
                             tree_width: int = 8) -> DataFrame:
@@ -328,39 +358,51 @@ def rollup_grouped_sketches(grouped: DataFrame,
                   for f in grouped.schema if f.name != "sketch"}
     assert list(key_fields) == key_cols, (list(key_fields), key_cols)
 
-    def _pad(df: DataFrame, present: list[str]) -> DataFrame:
-        cols = [F.col(k) if k in present
-                else F.lit(None).cast(key_fields[k]).alias(k)
-                for k in key_cols]
-        return df.select(*cols, "sketch")
-
-    def merge_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for b in pdf["sketch"]:
-            sk = deserialize(bytes(b))
-            acc = sk if acc is None else acc.merge(sk)
-        head = pdf.iloc[:1].drop(columns=["sketch"]).copy()
-        head["sketch"] = [acc.to_bytes()]
-        return head
-
-    levels = [_pad(grouped, key_cols)]
+    levels = [_pad_keys(grouped, key_cols, key_cols, key_fields)]
     cur = grouped
     for i in range(len(key_cols) - 1, -1, -1):
         keys = key_cols[:i]
-        if keys:
-            schema = ", ".join(f"{k} {key_fields[k]}" for k in keys) \
-                + ", sketch binary"
-            cur = (cur.select(*keys, "sketch").groupBy(*keys)
-                   .applyInPandas(merge_blobs, schema=schema))
-        else:
-            cur = (cur.select("sketch").repartition(tree_width)
-                   .mapInPandas(_fold_blob_rows, schema="sketch binary")
-                   .coalesce(1)
-                   .mapInPandas(_fold_blob_rows, schema="sketch binary"))
-        levels.append(_pad(cur, keys))
+        cur = _merge_to_level(cur, keys, key_fields, tree_width)
+        levels.append(_pad_keys(cur, keys, key_cols, key_fields))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
+    return out
+
+
+def _pad_keys(df: DataFrame, present: list[str], key_cols: list[str],
+              key_fields: dict[str, str]) -> DataFrame:
+    """NULL-pad rolled-up key columns to the full key schema."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(k) if k in present
+            else F.lit(None).cast(key_fields[k]).alias(k)
+            for k in key_cols]
+    return df.select(*cols, "sketch")
+
+
+def cube_grouped_sketches(grouped: DataFrame,
+                          key_cols: list[str],
+                          tree_width: int = 8) -> DataFrame:
+    """``GROUP BY CUBE`` analog of :func:`rollup_grouped_sketches`:
+    one row set per SUBSET of ``key_cols`` (2^n grouping sets), every
+    coarser set merged from the finest level's blobs — still ONE base
+    scan; each subset costs one shuffle over |group| blobs, not a
+    rescan. Same order-independence requirement and bit-exactness
+    guarantee as rollup."""
+    from itertools import combinations
+
+    key_fields = {f.name: f.dataType.simpleString()
+                  for f in grouped.schema if f.name != "sketch"}
+    assert list(key_fields) == key_cols, (list(key_fields), key_cols)
+
+    out = _pad_keys(grouped, key_cols, key_cols, key_fields)
+    for r in range(len(key_cols) - 1, -1, -1):
+        for keys in combinations(key_cols, r):
+            lvl = _merge_to_level(grouped, list(keys), key_fields,
+                                  tree_width)
+            out = out.unionByName(
+                _pad_keys(lvl, list(keys), key_cols, key_fields))
     return out
 
 

@@ -64,3 +64,27 @@ def test_rollup_row_set_matches_sql_rollup(spark, base):
                    base.rollup("lang", "source").count().collect()),
                   key=key)
     assert got == want
+
+
+def test_cube_levels_bitexact_and_row_set(spark, base):
+    from sketchlib.aggregate import cube_grouped_sketches
+    fac = partial(HyperLogLog, 12)
+    grouped = build_grouped_sketches(base, ["lang", "source"], "kh", fac,
+                                     pre_distinct=True)
+    cubed = cube_grouped_sketches(grouped, ["lang", "source"]).cache()
+
+    # the (source)-only level — the set rollup lacks — must be
+    # bit-identical to a direct per-source build
+    got = _blobs(cubed.filter(F.col("lang").isNull()
+                              & F.col("source").isNotNull()), ["source"])
+    want = _blobs(build_grouped_sketches(base, ["source"], "kh", fac,
+                                         pre_distinct=True), ["source"])
+    assert got == want
+
+    key = lambda t: tuple((x is None, x or "") for x in t)
+    got_rows = sorted(((r["lang"], r["source"]) for r in cubed.collect()),
+                      key=key)
+    want_rows = sorted(((r["lang"], r["source"]) for r in
+                        base.cube("lang", "source").count().collect()),
+                       key=key)
+    assert got_rows == want_rows
