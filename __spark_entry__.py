@@ -21,6 +21,7 @@ from sketchlib import queries as Q
 from sketchlib import dedup as D
 from sketchlib import textstats as TS
 from sketchlib import ann as A
+from sketchlib import graph as G
 
 
 _SHIPPED: set[int] = set()
@@ -63,6 +64,26 @@ _DUP_SQL = ("(SELECT doc_id, text FROM documents "
             "UNION ALL "
             "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
             "WHERE doc_id % 10 = 0)")
+
+
+def _cluster_corpus(docs: DataFrame) -> DataFrame:
+    """documents plus TWO re-keyed copies (every 10th at +1M, every
+    20th at +2M): every %20 doc seeds a 3-node duplicate CLUSTER, so
+    the cluster query exercises transitive closure, not just pairing."""
+    c1 = (docs.filter(F.col("doc_id") % 10 == 0)
+          .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    c2 = (docs.filter(F.col("doc_id") % 20 == 0)
+          .withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    return docs.unionByName(c1).unionByName(c2)
+
+
+_CLUSTER_SQL = ("(SELECT doc_id, text FROM documents "
+                "UNION ALL "
+                "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+                "WHERE doc_id % 10 = 0 "
+                "UNION ALL "
+                "SELECT doc_id + 2000000 AS doc_id, text FROM documents "
+                "WHERE doc_id % 20 = 0)")
 
 _TOKENS_SQL = ("(SELECT doc_id, t AS token FROM (SELECT doc_id, "
                "unnest(string_split_regex(lower(text), '\\s+')) AS t "
@@ -798,6 +819,18 @@ def q_simhash_near_pairs(spark, sf_dir):
     return D.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS via distributed connected
+    components (alternating large/small-star), with the canonical
+    keep-one representative per cluster. The oracle is a DuckDB
+    recursive CTE over the identical (md5-derived, engine-portable)
+    SimHash pair graph — strict equality on the transitive closure."""
+    docs = _cluster_corpus(_t(spark, sf_dir, "documents"))
+    pairs = D.simhash_near_pairs(docs, max_hamming=3)
+    return (G.duplicate_clusters(pairs, docs=docs)
+            .orderBy("doc_id"))
+
+
 def _emb_dup_corpus(emb: DataFrame) -> DataFrame:
     """embeddings plus a re-keyed 2x-scaled copy of every 20th vector:
     cosine(v, 2v) == 1.0 exactly (scaling is exact in IEEE754 and
@@ -1334,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1448,6 +1482,28 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp_hi, b.fp_hi))
       + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
 ORDER BY id_a, id_b""")
+
+    # transitive closure of the (identical) SimHash pair graph via a
+    # recursive CTE: reach(node, r) = r reaches node; component = the
+    # minimum reaching id — the same labeling connected_components
+    # produces. Exact because both engines compute the same pairs.
+    dedup_clusters_sql = (
+        simhash_fp_sql(_CLUSTER_SQL).replace("WITH tk", "WITH RECURSIVE tk", 1)
+        + f""",
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+        + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+nodes AS (SELECT doc_id AS node FROM {_CLUSTER_SQL} d),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
+SELECT node AS doc_id, MIN(r) AS component,
+       (node = MIN(r)) AS is_representative
+FROM reach GROUP BY node ORDER BY doc_id""")
 
     def rank_quantile_sql(table: str, col: str) -> str:
         return f"""
@@ -1825,6 +1881,7 @@ FROM r""",
         "dedup_minhash": jaccard_core.format(thr=0.9),
         "simhash_fingerprints": simhash_sql,
         "simhash_near_pairs": simhash_pairs_sql,
+        "dedup_clusters": dedup_clusters_sql,
         "dedup_embedding": (
             f"WITH base AS {_EMB_DUP_SQL} "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -91,7 +91,8 @@ def main() -> int:
                  "kll_quantiles_price", "kll_quantiles_per_lang",
                  "ddsketch_quantiles_price",
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
-                 "dedup_embedding_lsh", "simhash_fingerprints",
+                 "dedup_embedding_lsh", "dedup_clusters",
+                 "simhash_fingerprints",
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
                  "ann_ivf_topk",
                  "lang_id", "quality_score", "multimodal_features",

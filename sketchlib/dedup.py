@@ -313,7 +313,10 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
     chunks (a pair within distance<=3 shares at least one of 4 chunks
     exactly — pigeonhole), so no cross join."""
-    sh = simhash(df, id_col, text_col)
+    # materialize the fingerprint table (n_docs x 4 longs — tiny even
+    # at corpus scale) so the blocked SELF-join below doesn't recompute
+    # the whole tokenize+md5+vote pipeline once per side
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     chunk_exprs = [
         (F.col("fp_hi").bitwiseAND(F.lit(0xFFFF))).alias("c0"),
         F.shiftrightunsigned("fp_hi", 16).alias("c1"),
