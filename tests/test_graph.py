@@ -55,15 +55,25 @@ def test_basic_components(spark):
     assert _cc_spark(spark, nodes, [], local_threshold=10) == singletons
 
 
-def test_long_chain_converges_logarithmically(spark):
-    # a 64-node path: diameter 63, so naive min-label propagation
-    # would need 63 rounds; large/small-star must do it well inside
-    # the max_rounds=50 guard (O(log n) in theory)
-    n = 64
-    nodes = list(range(n))
-    edges = [(i, i + 1) for i in range(n - 1)]
-    got = _cc_spark(spark, nodes, edges)
+def test_long_chain_converges_logarithmically(spark, monkeypatch):
+    # a 128-node path has diameter 127: naive min-label propagation
+    # needs 127 rounds, large/small-star needs O(log n). Pin the
+    # round count (measured: 8 = log2(128) + 1 confirmation round)
+    # so a regression back to diameter-bound behavior fails loudly.
+    import sketchlib.graph as G
+    rounds = [0]
+    orig = G._small_star
+
+    def counting(e):
+        rounds[0] += 1
+        return orig(e)
+
+    monkeypatch.setattr(G, "_small_star", counting)
+    n = 128
+    got = _cc_spark(spark, list(range(n)),
+                    [(i, i + 1) for i in range(n - 1)])
     assert got == {i: 0 for i in range(n)}
+    assert rounds[0] <= 10
 
 
 def test_random_graphs_match_union_find(spark):
