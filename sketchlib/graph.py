@@ -14,11 +14,12 @@ edge source); the edge set converges to a disjoint union of stars
 centered at each component's minimum node id in O(log n) rounds —
 unlike naive min-label propagation, whose round count is the graph
 DIAMETER (a 10^6-long chain of pairwise-near docs would need 10^6
-shuffles; large/small-star needs ~20). Per round the edge set never
-grows beyond the input edge count (each phase re-points edges, it
-does not multiply them), so the shuffle volume per round is bounded
-by the pair count — at 100 TB the cost driver is the pair-generation
-stage upstream, not this closure.
+shuffles; large/small-star needs ~20). Each phase re-points edges
+rather than multiplying them (small-star transiently emits at most
+one extra center edge per node before dedup, so a round stays within
+~2x the pair count), and re-pointing toward minima only shrinks the
+set — at 100 TB the cost driver is the pair-generation stage
+upstream, not this closure.
 
 Iterative-plan hygiene: every round's edge DataFrame is persisted and
 `localCheckpoint`-ed so the lineage (and the Catalyst plan Spark must
@@ -170,14 +171,14 @@ def connected_components(edges: DataFrame,
 
 
 def duplicate_clusters(pairs: DataFrame, docs: DataFrame | None = None,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", **cc_kwargs) -> DataFrame:
     """Near-duplicate pairs -> per-document cluster assignment with a
     canonical representative: ``(doc_id, component, is_representative)``
     where the representative is the cluster's minimum id (the doc a
     pipeline KEEPS; the rest are dropped). ``docs`` (optional) adds
     pair-free documents as singleton clusters of themselves."""
     nodes = docs.select(id_col) if docs is not None else None
-    comp = connected_components(pairs, nodes=nodes)
+    comp = connected_components(pairs, nodes=nodes, **cc_kwargs)
     return comp.select(
         F.col("node").alias(id_col),
         "component",
