@@ -141,6 +141,28 @@ def windowed_counts(stream_df: DataFrame, key_col: str, ts_col: str,
             .agg(F.count("*").alias("n")))
 
 
+def streaming_dedup(stream_df: DataFrame, text_col: str = "text",
+                    ts_col: str | None = None,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """First-seen exact deduplication of a document stream: emit the
+    first arrival of each content fingerprint, drop every later exact
+    duplicate — the streaming analog of dedup.exact_duplicates for an
+    ingest pipeline that filters duplicates BEFORE they land.
+
+    State lives in Spark's native streaming-dedup state store (per-
+    fingerprint, RocksDB-backed on a real cluster), so it survives
+    checkpoint recovery and scales with |distinct fingerprints|, not
+    rows. Without ``ts_col`` state grows unboundedly (only right for
+    bounded backfills); with it, ``dropDuplicatesWithinWatermark``
+    ages fingerprints out past the watermark — the standard
+    infinite-stream regime, dedup within a time horizon."""
+    fp = stream_df.withColumn("fingerprint", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return (fp.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["fingerprint"]))
+    return fp.dropDuplicates(["fingerprint"])
+
+
 def stateful_sketch_stream(stream_df: DataFrame, key_col: str,
                            value_col: str, factory: Callable[[], object],
                            probe_keys: list | None = None):
