@@ -170,6 +170,28 @@ def _build_parser() -> argparse.ArgumentParser:
     sa.add_argument("-o", "--output", required=True,
                     help="output parquet path")
     sa.add_argument("--cpus", type=int, default=None)
+
+    dd = sub.add_parser(
+        "dedup",
+        help="duplicate-cluster resolution over a document table: "
+             "pairs (exact/simhash/minhash) -> connected components "
+             "-> (id, component, is_representative)")
+    dd.add_argument("--parquet", required=True, help="documents table")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--method", choices=["exact", "simhash", "minhash"],
+                    default="simhash")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash hamming radius")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash Jaccard threshold")
+    dd.add_argument("--keep-only", action="store_true",
+                    help="write the deduplicated KEEP-set (original "
+                         "rows of cluster representatives) instead of "
+                         "the assignment table")
+    dd.add_argument("-o", "--output", required=True,
+                    help="output parquet path")
+    dd.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -412,6 +434,50 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Cluster assignments (or the keep-set) for a document table."""
+    from pyspark.sql import functions as F
+
+    from sketchlib import dedup as D
+    from sketchlib.graph import duplicate_clusters
+    from sketchlib.session import borrowed_spark
+
+    with borrowed_spark("sketchlib-dedup", cpus=args.cpus) as spark:
+        docs = spark.read.parquet(args.parquet)
+        if args.method == "exact":
+            # byte-identical text needs no closure: component = min id
+            # over the fingerprint group, one hash aggregation
+            fp = docs.select(
+                F.md5(F.lower(F.col(args.text_col))).alias("fp"),
+                F.col(args.id_col).alias("node"))
+            mins = fp.groupBy("fp").agg(F.min("node").alias("component"))
+            out = (fp.join(mins, "fp")
+                   .select(F.col("node").alias(args.id_col), "component",
+                           (F.col("node") == F.col("component"))
+                           .alias("is_representative")))
+        else:
+            if args.method == "simhash":
+                pairs = D.simhash_near_pairs(
+                    docs, max_hamming=args.max_hamming,
+                    id_col=args.id_col, text_col=args.text_col)
+            else:
+                pairs = D.minhash_dedup_pairs(
+                    docs, threshold=args.threshold,
+                    id_col=args.id_col, text_col=args.text_col)
+            out = duplicate_clusters(pairs, docs=docs, id_col=args.id_col)
+        if args.keep_only:
+            out = docs.join(out.filter("is_representative")
+                            .select(args.id_col), args.id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        kept = (n if args.keep_only else
+                spark.read.parquet(args.output)
+                .filter("is_representative").count())
+    print(f"wrote {args.output} ({n} rows, {kept} representatives, "
+          f"method {args.method})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.mode == "analyze":
@@ -426,6 +492,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_profile(args)
     if args.mode == "sample":
         return cmd_sample(args)
+    if args.mode == "dedup":
+        return cmd_dedup(args)
     return cmd_count(args) if args.mode == "count" else cmd_query(args)
 
 

@@ -211,3 +211,30 @@ def test_cli_sample_deterministic(spark, tmp_path, capsys):
     got = (spark.read.parquet(st).groupBy("o_orderstatus").count()
            .collect())
     assert all(r["count"] == 4 for r in got) and len(got) >= 2
+
+
+def test_cli_dedup_exact_and_simhash(spark, tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "docs.parquet")
+    # 8 docs over 5 distinct texts: ids 0/5 share, 1/6 share, 2/7 share
+    pd.DataFrame({"doc_id": range(8),
+                  "text": [f"some document text {i % 5} with words"
+                           for i in range(8)]}).to_parquet(src)
+
+    out = str(tmp_path / "clusters.parquet")
+    assert main(["dedup", "--parquet", src, "--method", "exact",
+                 "-o", out]) == 0
+    got = {r["doc_id"]: (r["component"], r["is_representative"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {0: (0, True), 1: (1, True), 2: (2, True),
+                   3: (3, True), 4: (4, True),
+                   5: (0, False), 6: (1, False), 7: (2, False)}
+
+    keep = str(tmp_path / "keep.parquet")
+    assert main(["dedup", "--parquet", src, "--method", "simhash",
+                 "--keep-only", "-o", keep]) == 0
+    kept = spark.read.parquet(keep).toPandas()
+    # identical texts collide at hamming 0 -> representatives 0..4 only
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4]
+    assert set(kept.columns) == {"doc_id", "text"}
