@@ -22,6 +22,7 @@ from sketchlib import dedup as D
 from sketchlib import textstats as TS
 from sketchlib import ann as A
 from sketchlib import graph as G
+from sketchlib import decontam as DC
 
 
 _SHIPPED: set[int] = set()
@@ -831,6 +832,22 @@ def q_dedup_clusters(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 Appendix C / Llama-2
+    eval-overlap filtering step): training docs sharing >= 5 distinct
+    3-gram shingles with the "benchmark" corpus (every 20th doc).
+    Runs the bounded-memory Bloom-prefilter + exact-verify scale path
+    (sketchlib/decontam.py), whose output equals the exact broadcast
+    join's — Bloom filters have no false negatives — so the strict
+    DuckDB overlap-join oracle applies."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return (DC.contamination(train, bench, n=3, min_overlap=5,
+                             method="bloom")
+            .orderBy("doc_id"))
+
+
 def _emb_dup_corpus(emb: DataFrame) -> DataFrame:
     """embeddings plus a re-keyed 2x-scaled copy of every 20th vector:
     cosine(v, 2v) == 1.0 exactly (scaling is exact in IEEE754 and
@@ -1368,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1882,6 +1900,19 @@ FROM r""",
         "simhash_fingerprints": simhash_sql,
         "simhash_near_pairs": simhash_pairs_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "decontam_ngram_overlap": f"""
+WITH tsh AS {shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0)")},
+bsh AS (SELECT DISTINCT shingle FROM {shingles_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)")} b),
+agg AS (
+  SELECT t.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM tsh t LEFT JOIN bsh b USING (shingle)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_shingles, CAST(n_hit AS BIGINT) AS n_hit,
+       floor(n_hit * 1e6 / n_shingles) / 1e6 AS overlap_frac
+FROM agg WHERE n_hit >= 5 ORDER BY doc_id""",
         "dedup_embedding": (
             f"WITH base AS {_EMB_DUP_SQL} "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

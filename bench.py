@@ -92,6 +92,7 @@ def main() -> int:
                  "ddsketch_quantiles_price",
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
                  "dedup_embedding_lsh", "dedup_clusters",
+                 "decontam_ngram_overlap",
                  "simhash_fingerprints",
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
                  "ann_ivf_topk",

@@ -43,24 +43,23 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     toks = (df.select(id_col,
                       F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
                        .alias("toks")))
-    if hashed:
-        sh = toks.select(
-            id_col,
-            F.explode(F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
-            )).alias("shingle"))
-        return (sh.filter(F.col("shingle") != "")
-                .select(id_col, F.xxhash64("shingle").alias("sh64"))
-                .distinct())
-    # JVM-side n-gram assembly over the token array
+    # docs shorter than n tokens have no shingles: guard the index
+    # sequence (an unguarded F.sequence(0, size-n) DESCENDS when
+    # size < n, and slice(start=0) then throws)
+    idx = F.when(F.size("toks") >= n,
+                 F.sequence(F.lit(0), F.size("toks") - n)
+                 ).otherwise(F.array().cast("array<int>"))
     sh = toks.select(
         id_col,
         F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
+            idx,
             lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
         )).alias("shingle"))
-    return sh.filter(F.col("shingle") != "").distinct()
+    sh = sh.filter(F.col("shingle") != "")
+    if hashed:
+        return (sh.select(id_col, F.xxhash64("shingle").alias("sh64"))
+                .distinct())
+    return sh.distinct()
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
