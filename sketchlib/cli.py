@@ -192,6 +192,31 @@ def _build_parser() -> argparse.ArgumentParser:
     dd.add_argument("-o", "--output", required=True,
                     help="output parquet path")
     dd.add_argument("--cpus", type=int, default=None)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="benchmark decontamination: flag (or drop) training docs "
+             "whose n-gram shingles overlap a benchmark corpus")
+    dc.add_argument("--parquet", required=True, help="training table")
+    dc.add_argument("--benchmark", required=True,
+                    help="benchmark/eval corpus parquet table")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("-n", type=int, default=13,
+                    help="shingle width in tokens (GPT-3 used 13)")
+    dc.add_argument("--min-overlap", type=int, default=1,
+                    help="distinct shared shingles to flag a doc")
+    dc.add_argument("--method", choices=["exact", "bloom"],
+                    default="exact",
+                    help="bloom = bounded-memory prefilter + exact "
+                         "verify (same output)")
+    dc.add_argument("--clean-only", action="store_true",
+                    help="write the DECONTAMINATED training table "
+                         "(original rows minus flagged docs) instead "
+                         "of the flag table")
+    dc.add_argument("-o", "--output", required=True,
+                    help="output parquet path")
+    dc.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -478,6 +503,36 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    """Flag table (or the cleaned training table) for eval overlap."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.decontam import contamination
+    from sketchlib.session import borrowed_spark
+
+    with borrowed_spark("sketchlib-decontam", cpus=args.cpus) as spark:
+        train = spark.read.parquet(args.parquet)
+        bench = spark.read.parquet(args.benchmark)
+        flagged = contamination(train, bench, n=args.n,
+                                min_overlap=args.min_overlap,
+                                method=args.method,
+                                id_col=args.id_col,
+                                text_col=args.text_col)
+        if args.clean_only:
+            out = train.join(flagged.select(args.id_col),
+                             args.id_col, "left_anti")
+        else:
+            out = flagged
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        n_train = train.count()
+    what = "clean rows" if args.clean_only else "flagged docs"
+    print(f"wrote {args.output} ({n} {what} of {n_train} training rows, "
+          f"n={args.n}, min_overlap={args.min_overlap}, "
+          f"method {args.method})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.mode == "analyze":
@@ -494,6 +549,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_sample(args)
     if args.mode == "dedup":
         return cmd_dedup(args)
+    if args.mode == "decontam":
+        return cmd_decontam(args)
     return cmd_count(args) if args.mode == "count" else cmd_query(args)
 
 

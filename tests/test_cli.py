@@ -238,3 +238,34 @@ def test_cli_dedup_exact_and_simhash(spark, tmp_path):
     # identical texts collide at hamming 0 -> representatives 0..4 only
     assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4]
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_cli_decontam_flag_and_clean(spark, tmp_path):
+    import pandas as pd
+
+    train = str(tmp_path / "train.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox is here today",
+                 "a totally clean training document body",
+                 "nothing shared with evals whatsoever here"],
+    }).to_parquet(train)
+    pd.DataFrame({"doc_id": [9],
+                  "text": ["the quick brown fox jumps high"]}
+                 ).to_parquet(bench)
+
+    out = str(tmp_path / "flags.parquet")
+    assert main(["decontam", "--parquet", train, "--benchmark", bench,
+                 "-n", "3", "-o", out]) == 0
+    flags = spark.read.parquet(out).toPandas()
+    assert list(flags["doc_id"]) == [0]
+    assert list(flags["n_hit"]) == [2]  # "the quick brown", "quick brown fox"
+
+    clean = str(tmp_path / "clean.parquet")
+    assert main(["decontam", "--parquet", train, "--benchmark", bench,
+                 "-n", "3", "--method", "bloom", "--clean-only",
+                 "-o", clean]) == 0
+    kept = spark.read.parquet(clean).toPandas()
+    assert sorted(kept["doc_id"]) == [1, 2]
+    assert set(kept.columns) == {"doc_id", "text"}
