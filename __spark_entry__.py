@@ -962,6 +962,44 @@ def q_doc_fingerprints(spark, sf_dir):
             .select("doc_id", "md5_fp").orderBy("doc_id"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition filters over a corpus where every
+    5th doc has its text doubled across a newline (so line-dup and
+    n-gram-dup signals both fire deterministically). Shuffle-free
+    narrow plan (tests/test_textstats_filters.py pins 0 exchanges);
+    strict relational oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat("text", F.lit("\n"), "text"))
+         .otherwise(F.col("text")))
+    return TS.repetition_stats(corpus).orderBy("doc_id")
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII scan + redaction (C4/Dolma scrubbing step) over a corpus
+    with deterministically injected emails / phone numbers / IPv4s.
+    Counts AND the md5 of the redacted text are strict-gated, so the
+    replacement spans must match the oracle byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.withColumn("text", F.concat(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" call +1 555 010 9999")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" host 192.168.0.1 up")).otherwise(F.lit("")),
+    ))
+    red = (TS.pii_redact(corpus)
+           .select("doc_id", F.md5("redacted").alias("redacted_md5")))
+    return (TS.pii_stats(corpus).join(red, "doc_id")
+            .orderBy("doc_id"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract: synthetic media
     table -> stub-decoded fixed-dim features -> per-kind stats (the
@@ -1394,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
@@ -1982,6 +2022,73 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
         "doc_fingerprints": (
             "SELECT doc_id, md5(lower(text)) AS md5_fp "
             "FROM documents ORDER BY doc_id"),
+        "repetition_stats": """
+WITH c AS (SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+         ELSE text END AS text
+  FROM documents),
+base AS (SELECT doc_id,
+    string_split(text, chr(10)) AS lines,
+    length(text) AS n_chars,
+    list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '') AS toks
+  FROM c),
+g2 AS (SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS g
+       FROM base, LATERAL (SELECT unnest(range(0,
+            greatest(len(toks)-1, 0))) AS i)),
+g3 AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+       FROM base, LATERAL (SELECT unnest(range(0,
+            greatest(len(toks)-2, 0))) AS i)),
+d2 AS (SELECT doc_id, SUM(cnt * length(g)) AS dup_chars FROM
+       (SELECT doc_id, g, COUNT(*) AS cnt FROM g2
+        GROUP BY doc_id, g HAVING COUNT(*) >= 2) GROUP BY doc_id),
+d3 AS (SELECT doc_id, SUM(cnt * length(g)) AS dup_chars FROM
+       (SELECT doc_id, g, COUNT(*) AS cnt FROM g3
+        GROUP BY doc_id, g HAVING COUNT(*) >= 2) GROUP BY doc_id),
+l AS (SELECT doc_id, n_chars,
+    len(lines) AS nl, len(list_distinct(lines)) AS nd,
+    list_aggregate(list_transform(lines, x -> length(x)), 'sum') AS lc,
+    list_aggregate(list_transform(list_distinct(lines),
+                                  x -> length(x)), 'sum') AS dc
+  FROM base)
+SELECT l.doc_id,
+  floor(((nl - nd) / nl) * 1e6) / 1e6 AS dup_line_frac,
+  CASE WHEN lc > 0 THEN floor(((lc - dc) / lc) * 1e6) / 1e6
+       ELSE 0.0 END AS dup_line_char_frac,
+  CASE WHEN n_chars > 0 THEN
+    floor(least(coalesce(d2.dup_chars, 0) / n_chars, 1.0) * 1e6) / 1e6
+    ELSE 0.0 END AS dup_2gram_char_frac,
+  CASE WHEN n_chars > 0 THEN
+    floor(least(coalesce(d3.dup_chars, 0) / n_chars, 1.0) * 1e6) / 1e6
+    ELSE 0.0 END AS dup_3gram_char_frac
+FROM l LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+ORDER BY doc_id""",
+        "pii_scan": ("""
+WITH c AS (SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 010 9999'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' host 192.168.0.1 up'
+            ELSE '' END AS text
+  FROM documents),
+r AS (SELECT doc_id,
+    len(regexp_extract_all(text, '""" + TS.PII_PATTERNS["email"]
+                     + """')) AS n_email,
+    len(regexp_extract_all(text, '""" + TS.PII_PATTERNS["ipv4"]
+                     + """')) AS n_ipv4,
+    len(regexp_extract_all(text, '""" + TS.PII_PATTERNS["phone"]
+                     + """')) AS n_phone,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '""" + TS.PII_PATTERNS["email"] + """', '<EMAIL>', 'g'),
+      '""" + TS.PII_PATTERNS["ipv4"] + """', '<IPV4>', 'g'),
+      '""" + TS.PII_PATTERNS["phone"] + """', '<PHONE>', 'g') AS red
+  FROM c)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+  (n_email + n_ipv4 + n_phone) > 0 AS has_pii,
+  md5(red) AS redacted_md5
+FROM r ORDER BY doc_id"""),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -96,7 +96,8 @@ def main() -> int:
                  "simhash_fingerprints",
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
                  "ann_ivf_topk",
-                 "lang_id", "quality_score", "multimodal_features",
+                 "lang_id", "quality_score", "repetition_stats",
+                 "pii_scan", "multimodal_features",
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",

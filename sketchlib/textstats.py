@@ -1,5 +1,6 @@
 """Text-analysis operators for training-data pipelines: language ID,
-quality scoring, token counting, document fingerprinting.
+quality scoring, token counting, document fingerprinting, Gopher-style
+repetition filters, PII scan/redaction.
 
 All deterministic, all expressible as Catalyst expressions (and as
 ANSI SQL for the DuckDB oracles) — no UDFs in these paths.
@@ -86,6 +87,132 @@ def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         r6(alnum_ratio).alias("alnum_ratio"),
         r6(score).alias("quality_score"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021,
+    Table A1), simplified but deterministic:
+
+    - ``dup_line_frac``: duplicate lines / total lines
+    - ``dup_line_char_frac``: characters in repeat occurrences of
+      duplicated lines / total line characters
+    - ``dup_2gram_char_frac`` / ``dup_3gram_char_frac``: characters in
+      ALL occurrences of word n-grams that occur >= 2 times in the doc
+      / total doc characters, capped at 1 (overlapping occurrences
+      double-count — documented simplification, mirrored exactly in
+      the SQL oracle)
+
+    Scale: entirely narrow Catalyst array expressions — NO shuffle,
+    NO UDF; the n-gram duplicate count uses ``array_sort`` + an
+    equal-neighbor scan (an occurrence belongs to a duplicated n-gram
+    iff it equals a sorted neighbor), so per-doc work is O(n log n),
+    not O(n * distinct). Fractions floored to 1e-6 for cross-engine
+    value equality.
+
+    The tokenize / gram / sort arrays are materialized as columns in
+    staged projections (each producer is non-cheap and multiply
+    referenced, so CollapseProject keeps the stages): Spark's
+    interpreted higher-order lambdas re-evaluate inlined argument
+    subtrees PER ELEMENT, so leaving the sort+tokenize chain inline
+    under the neighbor-scan ``aggregate`` is O(n² · m) per row — 27
+    CPU-minutes for 500 docs when first measured.
+    """
+    r6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda t: t != "")
+    stage1 = df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("_nc"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        toks.alias("_toks"),
+    )
+
+    def grams_sorted(tcol, n: int):
+        return F.array_sort(F.when(
+            F.size(tcol) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(tcol) - n),
+                        lambda i: F.array_join(F.slice(tcol, i + 1, n),
+                                               " "))
+        ).otherwise(F.array().cast("array<string>")))
+
+    t = F.col("_toks")
+    stage2 = stage1.select(
+        id_col, "_nc", "_lines",
+        grams_sorted(t, 2).alias("_g2"),
+        grams_sorted(t, 3).alias("_g3"),
+    )
+
+    def dup_chars(srt):
+        # occurrence i is part of a duplicated n-gram iff it equals a
+        # sorted neighbor (covers every member of each run of length>=2)
+        last = F.size(srt) - 1
+        return F.aggregate(
+            F.sequence(F.lit(0), F.greatest(last, F.lit(0))),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.when(
+                (F.size(srt) > 0) &
+                (((i > 0) & (F.get(srt, i) == F.get(srt, i - 1))) |
+                 ((i < last) & (F.get(srt, i) == F.get(srt, i + 1)))),
+                F.length(F.get(srt, i))).otherwise(F.lit(0)))
+
+    lines = F.col("_lines")
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"),
+                             lambda acc, x: acc + F.length(x))
+    dist_chars = F.aggregate(F.array_distinct(lines),
+                             F.lit(0).cast("long"),
+                             lambda acc, x: acc + F.length(x))
+    n_chars = F.col("_nc")
+
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return stage2.select(
+        id_col,
+        r6(safe(n_lines - n_dist_lines, n_lines)).alias("dup_line_frac"),
+        r6(safe(line_chars - dist_chars,
+                line_chars)).alias("dup_line_char_frac"),
+        r6(F.least(safe(dup_chars(F.col("_g2")), n_chars),
+                   F.lit(1.0))).alias("dup_2gram_char_frac"),
+        r6(F.least(safe(dup_chars(F.col("_g3")), n_chars),
+                   F.lit(1.0))).alias("dup_3gram_char_frac"),
+    )
+
+
+# engine-portable PII patterns (no lookaround/backrefs: valid in both
+# Java regex and RE2); applied in REDACT_ORDER so both engines replace
+# identically even where patterns could touch
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+REDACT_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts (emails, IPv4 addresses, +international
+    phone numbers) — the C4/Dolma scrubbing pre-scan. Pure Catalyst
+    ``regexp_count``; no shuffle, no UDF."""
+    cols = [F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k]))
+            .alias(f"n_{k}") for k in REDACT_ORDER]
+    out = df.select(id_col, *cols)
+    total = sum(F.col(f"n_{k}") for k in REDACT_ORDER)
+    return out.withColumn("has_pii", total > 0)
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Replace every PII span with a typed placeholder token
+    (``<EMAIL>``, ``<IPV4>``, ``<PHONE>``), in a fixed pattern order
+    so the output is engine-reproducible byte-for-byte."""
+    c = F.col(text_col)
+    for k in REDACT_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
+    return df.select(id_col, c.alias(out_col))
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
