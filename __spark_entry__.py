@@ -1000,6 +1000,68 @@ def q_pii_scan(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_SYNTH_HOSTS = ["docs.example.com", "www.example.com",
+                "spam.example.com", "news.site.co.uk", "ads.site.co.uk",
+                "blog.another.org", "another.org"]
+
+
+def q_domain_stats(spark, sf_dir):
+    """URL/domain curation ops (sketchlib/textstats.py): registrable-
+    domain extraction (PSL-approximating regex, engine-portable),
+    UT1-style domain blocklist filter, per-domain corpus stats. URLs
+    are synthesized deterministically from doc_id over 7 hosts spanning
+    www-prefix, ccTLD second-level (co.uk) and bare-apex cases;
+    site.co.uk is blocklisted. Strict relational oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = F.array(*[F.lit(h) for h in _SYNTH_HOSTS])
+    corpus = docs.withColumn(
+        "url", F.concat(F.lit("https://"),
+                        F.element_at(hosts,
+                                     (F.col("doc_id") % 7 + 1).cast("int")),
+                        F.lit("/d/"), F.col("doc_id").cast("string")))
+    filtered = TS.blocklist_filter(corpus, ["site.co.uk"])
+    return TS.domain_stats(filtered).orderBy("domain")
+
+
+def q_training_mix(spark, sf_dir):
+    """Temperature (alpha=0.5) mixture sampling for the training-data
+    export (sketchlib/export.py): 400 docs drawn E-S-weighted by
+    p_lang^(alpha-1), up-sampling tail languages. STRICT gate in the
+    true sampling regime: the md5-derived rank key and the group-mass
+    weights are pure deterministic functions DuckDB recomputes, so the
+    oracle selects the identical 400 rows. Plan: tiny group-count
+    broadcast-joined back + TakeOrderedAndProject — no corpus
+    shuffle."""
+    from sketchlib.export import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (temperature_sample(docs.select("doc_id", "lang"), "lang",
+                               400, ["doc_id"], alpha=0.5, seed=13)
+            .orderBy("doc_id"))
+
+
+def q_export_shards(spark, sf_dir):
+    """Deterministic shuffle-shard export layout (sketchlib/export.py):
+    shard = md5-derived v % 8, within-shard order by (v, doc_id).
+    Gated via per-shard count + a positional checksum
+    sum(position * doc_id) that is order-sensitive, so the oracle
+    equality pins the exact shard assignment AND the exact within-shard
+    order — the byte layout write_shards would materialize."""
+    from pyspark.sql import Window
+
+    from sketchlib.export import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shuffle_shard(docs.select("doc_id"), ["doc_id"], 8, seed=42)
+    w = Window.partitionBy("shard").orderBy("shard_key", "doc_id")
+    return (sh.withColumn("pos", F.row_number().over(w).cast("long"))
+              .groupBy("shard")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum(F.col("pos") * F.col("doc_id"))
+                    .alias("pos_checksum"))
+              .orderBy("shard"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract: synthetic media
     table -> stub-decoded fixed-dim features -> per-kind stats (the
@@ -1435,6 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scan": q_pii_scan,
         "doc_fingerprints": q_doc_fingerprints,
+        "domain_stats": q_domain_stats,
+        "training_mix": q_training_mix,
+        "export_shards": q_export_shards,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
         "top_customers_window": q_top_customers_window,
@@ -1654,6 +1719,54 @@ SELECT o_orderkey, o_totalprice FROM (
             / 4503599627370496.0) / o_totalprice AS p
   FROM orders)
 ORDER BY p DESC, o_orderkey LIMIT 100"""),
+        "domain_stats": ("""
+WITH u AS (SELECT doc_id, text,
+    'https://' || (['docs.example.com','www.example.com',
+      'spam.example.com','news.site.co.uk','ads.site.co.uk',
+      'blog.another.org','another.org'])[CAST(doc_id % 7 AS INT) + 1]
+    || '/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (SELECT doc_id, text,
+    regexp_replace(lower(regexp_extract(url,
+        '""" + TS.URL_HOST_PATTERN + """', 1)), '^www\\.', '') AS host
+  FROM u),
+d AS (SELECT doc_id, text, host,
+    CASE WHEN regexp_extract(host, '""" + TS.DOMAIN3_PATTERN + """', 1)
+              <> '' THEN
+           regexp_extract(host, '""" + TS.DOMAIN3_PATTERN + """', 1)
+         WHEN regexp_extract(host, '""" + TS.DOMAIN2_PATTERN + """', 1)
+              <> '' THEN
+           regexp_extract(host, '""" + TS.DOMAIN2_PATTERN + """', 1)
+         ELSE host END AS domain
+  FROM h)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM d WHERE domain NOT IN ('site.co.uk')
+GROUP BY domain ORDER BY domain"""),
+        "training_mix": ("""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, power(n / SUM(n) OVER (), -0.5) AS wt FROM c),
+k AS (SELECT d.doc_id, d.lang,
+    ln((CAST(concat('0x', substr(md5(concat_ws(chr(31), '13',
+          CAST(d.doc_id AS VARCHAR))), 1, 13)) AS BIGINT) + 0.5)
+       / 4503599627370496.0) / wt AS p
+  FROM documents d JOIN w USING (lang))
+SELECT doc_id, lang FROM
+  (SELECT doc_id, lang FROM k ORDER BY p DESC, doc_id LIMIT 400)
+ORDER BY doc_id"""),
+        "export_shards": ("""
+WITH s AS (SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat_ws(chr(31), '42',
+        CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS v
+  FROM documents),
+p AS (SELECT CAST(v % 8 AS INT) AS shard, doc_id,
+    row_number() OVER (PARTITION BY CAST(v % 8 AS INT)
+                       ORDER BY v, doc_id) AS pos
+  FROM s)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS pos_checksum
+FROM p GROUP BY shard ORDER BY shard"""),
         "stratified_sample_events": ("""
 SELECT event_type, event_id FROM (
   SELECT event_type, event_id,

@@ -97,7 +97,8 @@ def main() -> int:
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
                  "ann_ivf_topk",
                  "lang_id", "quality_score", "repetition_stats",
-                 "pii_scan", "multimodal_features",
+                 "pii_scan", "domain_stats", "training_mix",
+                 "export_shards", "multimodal_features",
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",

@@ -215,6 +215,59 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, c.alias(out_col))
 
 
+# engine-portable (Java regex + RE2) URL/domain patterns, shared with
+# the SQL oracles verbatim
+URL_HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:\s]+)"
+DOMAIN3_PATTERN = r"([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[^.]+)$"
+DOMAIN2_PATTERN = r"([^.]+\.[^.]+)$"
+
+
+def extract_domain(url_col) -> "F.Column":
+    """Registrable domain from a URL column (expression, no UDF):
+    lowercase host minus a leading ``www.``, reduced to the last two
+    labels — or three when the second-to-last is a common second-level
+    registry label (co/com/net/org/gov/ac/edu, the ccTLD convention:
+    ``news.site.co.uk`` -> ``site.co.uk``). A deterministic
+    approximation of the Public Suffix List that both engines compute
+    identically; single-label hosts pass through unchanged."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, URL_HOST_PATTERN, 1)),
+        r"^www\.", "")
+    d3 = F.regexp_extract(host, DOMAIN3_PATTERN, 1)
+    d2 = F.regexp_extract(host, DOMAIN2_PATTERN, 1)
+    return (F.when(d3 != "", d3)
+             .when(d2 != "", d2)
+             .otherwise(host))
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-registrable-domain corpus stats (the crawl-curation view:
+    which domains dominate the mix): doc count, distinct hosts, total
+    text chars. One hash aggregation on the derived domain."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, URL_HOST_PATTERN, 1)),
+        r"^www\.", "")
+    return (df.select(extract_domain(F.col(url_col)).alias("domain"),
+                      host.alias("__host"),
+                      F.length(text_col).alias("__chars"))
+              .groupBy("domain")
+              .agg(F.count("*").alias("n_docs"),
+                   F.countDistinct("__host").alias("n_hosts"),
+                   F.sum("__chars").alias("sum_chars")))
+
+
+def blocklist_filter(df: DataFrame, blocked: list[str],
+                     url_col: str = "url") -> DataFrame:
+    """Drop rows whose registrable domain is on a blocklist (UT1-style
+    domain-level blocking). The list form broadcasts as a literal IN
+    set; for blocklists too large for that, express the list as a
+    DataFrame and use a broadcast ``left_anti`` join instead — same
+    semantics, same single scan."""
+    return df.filter(
+        ~extract_domain(F.col(url_col)).isin([b.lower() for b in blocked]))
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of normalized text plus a positional
     rolling-hash-style signature (xxhash64 of 8-token windows, min/max
