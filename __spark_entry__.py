@@ -1040,6 +1040,27 @@ def q_training_mix(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (sketchlib/dsir.py; Xie et al.
+    NeurIPS 2023): hashed uni+bigram bucket models (B=4096) fit on
+    target = lang='en' docs vs raw = all docs, per-doc log importance
+    weight, Gumbel top-k draw of 300 docs proportional to weight.
+    STRICT gate in the true sampling regime: buckets, both
+    add-one-smoothed models, the scores, and the Gumbel keys are
+    md5-derived pure functions DuckDB recomputes, so the oracle
+    selects the identical 300 ids. Plan: two B-row model aggregates,
+    broadcast log-ratio join, map-side-combined per-doc sum,
+    TakeOrderedAndProject — the corpus is never shuffled."""
+    from sketchlib.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = dsir_select(docs.select("doc_id", "lang", "text"),
+                      docs.filter(F.col("lang") == "en")
+                          .select("doc_id", "text"),
+                      300, n_buckets=4096, seed=0)
+    return sel.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_export_shards(spark, sf_dir):
     """Deterministic shuffle-shard export layout (sketchlib/export.py):
     shard = md5-derived v % 8, within-shard order by (v, doc_id).
@@ -1499,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "domain_stats": q_domain_stats,
         "training_mix": q_training_mix,
+        "dsir_select": q_dsir_select,
         "export_shards": q_export_shards,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
@@ -1755,6 +1777,47 @@ k AS (SELECT d.doc_id, d.lang,
 SELECT doc_id, lang FROM
   (SELECT doc_id, lang FROM k ORDER BY p DESC, doc_id LIMIT 400)
 ORDER BY doc_id"""),
+        "dsir_select": ("""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+      toks,
+      [toks[i] || ' ' || toks[i+1]
+       for i in generate_series(1, len(toks) - 1)])) AS gram
+  FROM toks),
+feat AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat_ws(chr(31), '0', gram)),
+                             1, 13)) AS BIGINT) % 4096 AS bucket
+  FROM grams),
+tc AS (SELECT bucket, COUNT(*) AS n FROM feat
+       JOIN documents USING (doc_id) WHERE lang = 'en'
+       GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS n FROM feat GROUP BY bucket),
+nt AS (SELECT SUM(n) AS N FROM tc),
+nr AS (SELECT SUM(n) AS N FROM rc),
+ratio AS (
+  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+         COALESCE(ln((tc.n + 1.0) / ((SELECT N FROM nt) + 4096)),
+                  ln(1.0 / ((SELECT N FROM nt) + 4096)))
+       - COALESCE(ln((rc.n + 1.0) / ((SELECT N FROM nr) + 4096)),
+                  ln(1.0 / ((SELECT N FROM nr) + 4096))) AS lr
+  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket),
+scores AS (
+  SELECT doc_id, SUM(lr) AS logw
+  FROM feat JOIN ratio USING (bucket) GROUP BY doc_id),
+sel AS (
+  SELECT doc_id,
+         logw - ln(-ln((CAST(concat('0x', substr(md5(concat_ws(
+             chr(31), 'g0', CAST(doc_id AS VARCHAR))), 1, 13))
+             AS BIGINT) + 0.5) / 4503599627370496.0)) AS sel_key
+  FROM scores
+  ORDER BY sel_key DESC, doc_id LIMIT 300)
+SELECT d.doc_id, d.lang FROM documents d JOIN sel USING (doc_id)
+ORDER BY d.doc_id"""),
         "export_shards": ("""
 WITH s AS (SELECT doc_id,
     CAST(concat('0x', substr(md5(concat_ws(chr(31), '42',

@@ -97,7 +97,7 @@ def main() -> int:
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
                  "ann_ivf_topk",
                  "lang_id", "quality_score", "repetition_stats",
-                 "pii_scan", "domain_stats", "training_mix",
+                 "pii_scan", "domain_stats", "training_mix", "dsir_select",
                  "export_shards", "multimodal_features",
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
