@@ -1049,8 +1049,8 @@ def q_dsir_select(spark, sf_dir):
     add-one-smoothed models, the scores, and the Gumbel keys are
     md5-derived pure functions DuckDB recomputes, so the oracle
     selects the identical 300 ids. Plan: two B-row model aggregates,
-    broadcast log-ratio join, map-side-combined per-doc sum,
-    TakeOrderedAndProject — the corpus is never shuffled."""
+    codegen element_at log-ratio lookup (no join), map-side-combined
+    per-doc sum, TakeOrderedAndProject — the corpus never shuffles."""
     from sketchlib.dsir import dsir_select
 
     docs = _t(spark, sf_dir, "documents")
@@ -1059,6 +1059,25 @@ def q_dsir_select(spark, sf_dir):
                           .select("doc_id", "text"),
                       300, n_buckets=4096, seed=0)
     return sel.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_pack_manifest(spark, sf_dir):
+    """Sequence packing (sketchlib/packing.py): concat-and-chop the
+    shuffled document stream into 2048-token training sequences;
+    result is the loader manifest (seq_id, doc_id, tok_from, tok_to).
+    STRICT gate: the shuffle key, the two-phase global cumsum, and
+    the window slicing are md5-derived integer arithmetic DuckDB
+    recomputes exactly with one window function. Plan: one corpus
+    scan projecting (doc_id, n_tokens), range exchange of that skinny
+    table only, per-partition window cumsum + broadcast offsets,
+    map-side sequence/explode — no Python, corpus never shuffles."""
+    from sketchlib.packing import pack_manifest
+    from sketchlib.textstats import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = token_stats(docs).select("doc_id", "n_tokens")
+    return (pack_manifest(nt, 2048, seed=0)
+            .orderBy("seq_id", "doc_id"))
 
 
 def q_export_shards(spark, sf_dir):
@@ -1521,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "training_mix": q_training_mix,
         "dsir_select": q_dsir_select,
+        "pack_manifest": q_pack_manifest,
         "export_shards": q_export_shards,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
@@ -1818,6 +1838,27 @@ sel AS (
   ORDER BY sel_key DESC, doc_id LIMIT 300)
 SELECT d.doc_id, d.lang FROM documents d JOIN sel USING (doc_id)
 ORDER BY d.doc_id"""),
+        "pack_manifest": ("""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x != '')) AS ntok,
+    CAST(concat('0x', substr(md5(concat_ws(chr(31), 'pack0',
+        CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS k
+  FROM documents),
+o AS (SELECT doc_id, ntok,
+             CAST(SUM(ntok) OVER (ORDER BY k, doc_id) - ntok
+                  AS BIGINT) AS strt
+      FROM t),
+p AS (SELECT doc_id, ntok, strt,
+             strt // 2048 AS f, (strt + ntok - 1) // 2048 AS l
+      FROM o WHERE ntok > 0),
+m AS (SELECT doc_id, ntok, strt,
+             unnest(generate_series(f, l)) AS seq_id FROM p)
+SELECT seq_id, doc_id,
+       GREATEST(0, seq_id * 2048 - strt) AS tok_from,
+       LEAST(ntok, (seq_id + 1) * 2048 - strt) AS tok_to
+FROM m ORDER BY seq_id, doc_id"""),
         "export_shards": ("""
 WITH s AS (SELECT doc_id,
     CAST(concat('0x', substr(md5(concat_ws(chr(31), '42',

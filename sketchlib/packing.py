@@ -1,0 +1,125 @@
+"""Sequence packing: chop a shuffled document stream into fixed-length
+training sequences (the concat-and-chop packing every GPT/Llama-style
+pretraining pipeline runs between curation and the data loader).
+
+Semantics: documents are laid out in a deterministic global shuffle
+order (52-bit md5 key, id tiebreak — same engine-portable recipe as
+:mod:`sketchlib.export`), concatenated token-wise, and chopped into
+windows of exactly ``max_len`` tokens. A document whose tokens span a
+window boundary contributes a slice to each window it touches. The
+output manifest ``(seq_id, doc_id, tok_from, tok_to)`` is what a
+training loader consumes: sequence ``seq_id`` is the concatenation of
+its rows' ``text_tokens[tok_from:tok_to)`` in (seq_id, start) order.
+
+Scale shape (the 100 TB view): the corpus is scanned ONCE, projecting
+only (id, token count) — KBs per million docs; everything after runs
+on that skinny table. The global exclusive cumulative sum (each doc's
+start offset in the virtual concatenation) is computed WITHOUT a
+single-partition window: range-exchange the skinny table on the
+shuffle key, per-partition window cumsum, then one scalar per range
+partition reaches the driver and comes back as a broadcast offset —
+the same two-phase pattern :mod:`sketchlib.analysis` uses for ranks.
+The window explode is map-side (`sequence` + `explode`), so the
+manifest costs no further shuffle. No Python runs anywhere.
+
+Determinism: start offsets, window ids, and slice bounds are pure
+functions of (ids, token counts, seed) — reproducible across
+partitionings, clusters, and engines; the ``pack_manifest`` driver
+query is strict-equality gated against DuckDB recomputing the same
+layout with window functions.
+
+The reference has no analog (alorchhota/ocm is a sketch library); the
+operator belongs to the SURVEY §2.3 "beyond the reference" pipeline
+set alongside dedup / decontam / mixture sampling / DSIR / sharding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["doc_offsets", "pack_sequences", "pack_manifest"]
+
+_SEP = "\x1f"  # unit separator; DuckDB spells it chr(31)
+
+
+def _order_key(id_col: str, seed: int) -> F.Column:
+    """52-bit md5 shuffle key — exact in IEEE754 double, identical in
+    Spark and DuckDB (same construction as sketchlib.sampling)."""
+    return F.conv(F.substring(
+        F.md5(F.concat_ws(_SEP, F.lit(f"pack{seed}"),
+                          F.col(id_col).cast("string"))), 1, 13),
+        16, 10).cast("long")
+
+
+def _doc_offsets(df: DataFrame, id_col: str, ntok_col: str, seed: int,
+                 n_ranges: int) -> tuple[DataFrame, DataFrame]:
+    """(result, persisted intermediate) — callers unpersist the second
+    element once the offsets have been consumed."""
+    spark = df.sparkSession
+    g = (df.select(F.col(id_col).alias("id"),
+                   F.col(ntok_col).cast("long").alias("ntok"))
+           .withColumn("k", _order_key("id", seed))
+           .repartitionByRange(n_ranges, "k", "id")
+           .withColumn("pid", F.spark_partition_id())
+           .withColumn("cum", F.sum("ntok").over(
+               Window.partitionBy("pid").orderBy("k", "id")))
+           .persist())
+    # one (total, first-key) row per non-empty range partition; order
+    # offsets by the partition's key range, not its pid, so they stay
+    # correct even if the partitioner's id assignment ever changed
+    totals = sorted(
+        g.groupBy("pid").agg(F.max("cum").alias("tot"),
+                             F.min(F.struct("k", "id")).alias("lo"))
+         .collect(),
+        key=lambda r: (r["lo"]["k"], r["lo"]["id"]))
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["pid"], acc))
+        acc += r["tot"]
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    res = (g.join(F.broadcast(off), "pid")
+            .select(F.col("id").alias(id_col), "ntok",
+                    (F.col("off") + F.col("cum") - F.col("ntok"))
+                    .alias("start")))
+    return res, g
+
+
+def doc_offsets(df: DataFrame, id_col: str = "doc_id",
+                ntok_col: str = "n_tokens", seed: int = 0,
+                n_ranges: int = 64) -> DataFrame:
+    """(id, ntok, start): each document's exclusive token offset in the
+    virtual concatenation under the deterministic shuffle order."""
+    res, _ = _doc_offsets(df, id_col, ntok_col, seed, n_ranges)
+    return res
+
+
+def pack_sequences(df: DataFrame, max_len: int, id_col: str = "doc_id",
+                   ntok_col: str = "n_tokens", seed: int = 0,
+                   n_ranges: int = 64) -> DataFrame:
+    """(id, ntok, start, first_seq, last_seq): the window span each
+    non-empty document's tokens fall into. Zero-token documents occupy
+    no window and are dropped."""
+    off = doc_offsets(df, id_col, ntok_col, seed, n_ranges)
+    return (off.filter(F.col("ntok") > 0)
+            .select(id_col, "ntok", "start",
+                    F.floor(F.col("start") / max_len).alias("first_seq"),
+                    F.floor((F.col("start") + F.col("ntok") - 1) / max_len)
+                    .alias("last_seq")))
+
+
+def pack_manifest(df: DataFrame, max_len: int, id_col: str = "doc_id",
+                  ntok_col: str = "n_tokens", seed: int = 0,
+                  n_ranges: int = 64) -> DataFrame:
+    """The loader manifest: one row per (sequence, contributing doc)
+    with the in-document token slice [tok_from, tok_to) that lands in
+    that sequence. Every sequence except the last holds exactly
+    ``max_len`` tokens. Map-side explode — no extra shuffle."""
+    pk = pack_sequences(df, max_len, id_col, ntok_col, seed, n_ranges)
+    m = pk.select(id_col, "ntok", "start",
+                  F.explode(F.sequence("first_seq", "last_seq"))
+                  .alias("seq_id"))
+    lo = F.greatest(F.lit(0), F.col("seq_id") * max_len - F.col("start"))
+    hi = F.least(F.col("ntok"),
+                 (F.col("seq_id") + 1) * max_len - F.col("start"))
+    return m.select("seq_id", id_col, lo.alias("tok_from"),
+                    hi.alias("tok_to"))
