@@ -1068,9 +1068,11 @@ def q_pack_manifest(spark, sf_dir):
     STRICT gate: the shuffle key, the two-phase global cumsum, and
     the window slicing are md5-derived integer arithmetic DuckDB
     recomputes exactly with one window function. Plan: one corpus
-    scan projecting (doc_id, n_tokens), range exchange of that skinny
-    table only, per-partition window cumsum + broadcast offsets,
-    map-side sequence/explode — no Python, corpus never shuffles."""
+    scan projecting (doc_id, n_tokens); the ONLY shuffle is the
+    window's hashpartitioning on the key-prefix bucket of that skinny
+    table (order-preserving, hash-balanced — no range exchange, no
+    single-partition window); offsets broadcast back; map-side
+    sequence/explode — no Python, the corpus never shuffles."""
     from sketchlib.packing import pack_manifest
     from sketchlib.textstats import token_stats
 

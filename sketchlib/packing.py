@@ -15,10 +15,13 @@ Scale shape (the 100 TB view): the corpus is scanned ONCE, projecting
 only (id, token count) — KBs per million docs; everything after runs
 on that skinny table. The global exclusive cumulative sum (each doc's
 start offset in the virtual concatenation) is computed WITHOUT a
-single-partition window: range-exchange the skinny table on the
-shuffle key, per-partition window cumsum, then one scalar per range
-partition reaches the driver and comes back as a broadcast offset —
-the same two-phase pattern :mod:`sketchlib.analysis` uses for ranks.
+single-partition window: the uniform md5 key's high bits give an
+order-preserving, hash-balanced bucket, one hash exchange of the
+skinny table feeds a per-bucket window cumsum, then one scalar per
+bucket reaches the driver and comes back as a broadcast offset — the
+two-phase rank pattern of :mod:`sketchlib.analysis`, minus even the
+range exchange (the key is uniform by construction, so fixed-width
+key ranges are already balanced).
 The window explode is map-side (`sequence` + `explode`), so the
 manifest costs no further shuffle. No Python runs anywhere.
 
@@ -54,30 +57,35 @@ def _order_key(id_col: str, seed: int) -> F.Column:
 def _doc_offsets(df: DataFrame, id_col: str, ntok_col: str, seed: int,
                  n_ranges: int) -> tuple[DataFrame, DataFrame]:
     """(result, persisted intermediate) — callers unpersist the second
-    element once the offsets have been consumed."""
+    element once the offsets have been consumed.
+
+    The shuffle key is uniform by construction (md5), so instead of a
+    range exchange followed by the window's OWN hash exchange (two
+    shuffles of the skinny table), the bucket is computed directly as
+    the key's high bits: ``bkt = (k * n_ranges) >> 52`` is order-
+    preserving in k and hash-balanced, and the window's single
+    hashpartitioning(bkt) exchange is the ONLY shuffle in the job."""
     spark = df.sparkSession
+    nb = max(1, n_ranges)
     g = (df.select(F.col(id_col).alias("id"),
                    F.col(ntok_col).cast("long").alias("ntok"))
            .withColumn("k", _order_key("id", seed))
-           .repartitionByRange(n_ranges, "k", "id")
-           .withColumn("pid", F.spark_partition_id())
+           .withColumn("bkt", F.shiftright(F.col("k") * nb, 52)
+                       .cast("int"))
            .withColumn("cum", F.sum("ntok").over(
-               Window.partitionBy("pid").orderBy("k", "id")))
+               Window.partitionBy("bkt").orderBy("k", "id")))
            .persist())
-    # one (total, first-key) row per non-empty range partition; order
-    # offsets by the partition's key range, not its pid, so they stay
-    # correct even if the partitioner's id assignment ever changed
+    # one total per non-empty bucket; buckets are key prefixes, so
+    # bucket order IS global key order
     totals = sorted(
-        g.groupBy("pid").agg(F.max("cum").alias("tot"),
-                             F.min(F.struct("k", "id")).alias("lo"))
-         .collect(),
-        key=lambda r: (r["lo"]["k"], r["lo"]["id"]))
+        (r["bkt"], r["tot"]) for r in
+        g.groupBy("bkt").agg(F.max("cum").alias("tot")).collect())
     offsets, acc = [], 0
-    for r in totals:
-        offsets.append((r["pid"], acc))
-        acc += r["tot"]
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
-    res = (g.join(F.broadcast(off), "pid")
+    for bkt, tot in totals:
+        offsets.append((bkt, acc))
+        acc += tot
+    off = spark.createDataFrame(offsets or [(0, 0)], "bkt int, off long")
+    res = (g.join(F.broadcast(off), "bkt")
             .select(F.col("id").alias(id_col), "ntok",
                     (F.col("off") + F.col("cum") - F.col("ntok"))
                     .alias("start")))

@@ -129,3 +129,50 @@ def test_swcm_single_sorted_partition_shape(spark):
     assert "REPARTITION_BY_NUM" in plan
     assert "Sort " in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_scoring_has_no_join_and_takeordered(spark):
+    """DSIR scoring must be a joinless codegen lookup (element_at into
+    the log-ratio literal) feeding a partial+final hash aggregate; the
+    selection must plan as TakeOrderedAndProject, not a full sort.
+    The only join allowed is the final k-row id join back to raw."""
+    from sketchlib.dsir import dsir_select
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sel = dsir_select(docs.select("doc_id", "lang", "text"),
+                      docs.filter(F.col("lang") == "en")
+                          .select("doc_id", "text"),
+                      50, n_buckets=256, seed=0)
+    plan = _plan(sel)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final score sum
+    # scoring leg: one join NODE total (the k-row select join, which
+    # broadcasts); formatted plans print each node twice (tree +
+    # detail), so one node == 2 occurrences
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_no_single_partition_window(spark):
+    """The global cumsum must be the two-phase form: ONE hash exchange
+    on the order-preserving key-prefix bucket + a bucket-partitioned
+    window — never a window over one global partition (Exchange
+    SinglePartition), and no second (range) exchange either."""
+    from sketchlib.packing import doc_offsets, pack_manifest
+    from sketchlib.textstats import token_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nt = token_stats(docs).select("doc_id", "n_tokens")
+    plan = _plan(pack_manifest(nt, 2048))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Generate explode" in plan or "explode" in plan
+    # every data exchange in the offsets job is the single
+    # hashpartitioning(bkt) shuffle (AQE prints it twice: initial +
+    # final plan); anything else (range, single-partition) is a
+    # regression
+    off_plan = _plan(doc_offsets(nt))
+    import re
+    kinds = set(re.findall(r"(\w+partitioning)\(\w+", off_plan))
+    assert kinds == {"hashpartitioning"}
+    assert "hashpartitioning(bkt" in off_plan
