@@ -1082,6 +1082,25 @@ def q_pack_manifest(spark, sf_dir):
             .orderBy("seq_id", "doc_id"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """THE composed pipeline (sketchlib/pipeline.py): exact dedup ->
+    benchmark decontamination (Bloom-prefilter scale path) -> integer-
+    exact quality filter -> temperature mixture sample (alpha=0.5,
+    k=300) -> 512-token sequence packing, as ONE lazy Spark plan over
+    the dup-injected corpus (benchmark = every 20th doc). Every stage
+    is md5-derived / integer-exact, so the final loader manifest is
+    strict-equality gated against DuckDB recomputing all five stages.
+    Proves the curation operators chain end to end."""
+    from sketchlib import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "text")
+    base = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return (PL.curate(_dup_corpus(base), bench, 300, 512)
+            .orderBy("seq_id", "doc_id"))
+
+
 def q_export_shards(spark, sf_dir):
     """Deterministic shuffle-shard export layout (sketchlib/export.py):
     shard = md5-derived v % 8, within-shard order by (v, doc_id).
@@ -1543,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "dsir_select": q_dsir_select,
         "pack_manifest": q_pack_manifest,
+        "curation_pipeline": q_curation_pipeline,
         "export_shards": q_export_shards,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
@@ -1860,6 +1880,64 @@ m AS (SELECT doc_id, ntok, strt,
 SELECT seq_id, doc_id,
        GREATEST(0, seq_id * 2048 - strt) AS tok_from,
        LEAST(ntok, (seq_id + 1) * 2048 - strt) AS tok_to
+FROM m ORDER BY seq_id, doc_id"""),
+        "curation_pipeline": ("""
+WITH base AS (SELECT doc_id, lang, text FROM documents
+              WHERE doc_id % 20 <> 0),
+corpus AS (SELECT doc_id, lang, text FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, lang, text FROM base
+           WHERE doc_id % 10 = 0),
+reps AS (SELECT md5(lower(text)) AS fp, MIN(doc_id) AS doc_id
+         FROM corpus GROUP BY 1),
+kept AS (SELECT c.* FROM corpus c
+         JOIN reps r ON md5(lower(c.text)) = r.fp
+                    AND c.doc_id = r.doc_id),
+tsh AS (SELECT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+')
+                 AS toks FROM kept),
+         LATERAL (SELECT unnest(range(0, greatest(len(toks)-2, 0)))
+                  AS i))
+    WHERE shingle <> '' GROUP BY doc_id, shingle),
+bsh AS (SELECT DISTINCT shingle FROM (
+    SELECT array_to_string(toks[i+1:i+3], ' ') AS shingle
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents WHERE doc_id % 20 = 0),
+         LATERAL (SELECT unnest(range(0, greatest(len(toks)-2, 0)))
+                  AS i)) WHERE shingle <> ''),
+flagged AS (SELECT doc_id FROM tsh JOIN bsh USING (shingle)
+            GROUP BY doc_id HAVING COUNT(*) >= 5),
+clean AS (SELECT * FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+good AS (SELECT doc_id, lang,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t <> '')) AS ntok
+  FROM clean
+  WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '')) >= 5
+    AND length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 2
+        >= length(text)),
+gc AS (SELECT lang, COUNT(*) AS cnt FROM good GROUP BY lang),
+gw AS (SELECT lang, power(cnt / SUM(cnt) OVER (), -0.5) AS wt FROM gc),
+samp AS (SELECT g.doc_id, g.ntok FROM good g JOIN gw USING (lang)
+  ORDER BY ln((CAST(concat('0x', substr(md5(concat_ws(chr(31), '13',
+      CAST(g.doc_id AS VARCHAR))), 1, 13)) AS BIGINT) + 0.5)
+      / 4503599627370496.0) / wt DESC, g.doc_id
+  LIMIT 300),
+o AS (SELECT doc_id, ntok,
+    CAST(SUM(ntok) OVER (ORDER BY k, doc_id) - ntok AS BIGINT) AS strt
+  FROM (SELECT doc_id, ntok,
+          CAST(concat('0x', substr(md5(concat_ws(chr(31), 'pack13',
+              CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS k
+        FROM samp)),
+p AS (SELECT doc_id, ntok, strt, strt // 512 AS f,
+             (strt + ntok - 1) // 512 AS l FROM o WHERE ntok > 0),
+m AS (SELECT doc_id, ntok, strt,
+             unnest(generate_series(f, l)) AS seq_id FROM p)
+SELECT seq_id, doc_id,
+       GREATEST(0, seq_id * 512 - strt) AS tok_from,
+       LEAST(ntok, (seq_id + 1) * 512 - strt) AS tok_to
 FROM m ORDER BY seq_id, doc_id"""),
         "export_shards": ("""
 WITH s AS (SELECT doc_id,

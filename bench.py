@@ -98,7 +98,8 @@ def main() -> int:
                  "ann_ivf_topk",
                  "lang_id", "quality_score", "repetition_stats",
                  "pii_scan", "domain_stats", "training_mix", "dsir_select",
-                 "pack_manifest", "export_shards", "multimodal_features",
+                 "pack_manifest", "curation_pipeline",
+                 "export_shards", "multimodal_features",
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",
