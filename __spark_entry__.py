@@ -1082,6 +1082,37 @@ def q_pack_manifest(spark, sf_dir):
             .orderBy("seq_id", "doc_id"))
 
 
+def q_fd_gram_embeddings(spark, sf_dir):
+    """Frequent Directions matrix sketch (sketchlib/sketches/fd.py;
+    Liberty KDD'13 / Ghashami et al. SICOMP'16 — the deterministic
+    sibling of the vendored rnla.h count-sketch transforms): gram
+    matrix A^T A of the quantized embedding table from a distributed
+    partial+merge FD build. STRICT gate in the exact regime: ell >= n
+    means no shrink ever fires, and floor(x*1000) quantization makes
+    every gram entry an exactly-representable integer sum — order-
+    independent in IEEE754, so any partitioning matches DuckDB
+    bit-for-bit (the KLL delta>=n pattern). The lossy-regime bound
+    ||A^T A - B^T B||_2 <= ||A||_F^2/ell is property-tested
+    (tests/test_fd.py). Returns the upper triangle (i, j, g)."""
+    from functools import partial as _partial
+
+    from sketchlib.aggregate import build_sketch
+    from sketchlib.sketches.fd import FrequentDirections
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.select(F.transform(F.col("embedding").cast("array<double>"),
+                               lambda x: F.floor(x * 1000)
+                               .cast("double")).alias("qv"))
+    fd = build_sketch(q, "qv", _partial(FrequentDirections, n, 64),
+                      as_u64=False)
+    G = fd.gram()
+    rows = [(i, j, float(G[i, j]))
+            for i in range(64) for j in range(i, 64)]
+    return (spark.createDataFrame(rows, "i int, j int, g double")
+            .orderBy("i", "j"))
+
+
 def q_curation_pipeline(spark, sf_dir):
     """THE composed pipeline (sketchlib/pipeline.py): exact dedup ->
     benchmark decontamination (Bloom-prefilter scale path) -> integer-
@@ -1563,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "pack_manifest": q_pack_manifest,
         "curation_pipeline": q_curation_pipeline,
+        "fd_gram_embeddings": q_fd_gram_embeddings,
         "export_shards": q_export_shards,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
@@ -1881,6 +1913,17 @@ SELECT seq_id, doc_id,
        GREATEST(0, seq_id * 2048 - strt) AS tok_from,
        LEAST(ntok, (seq_id + 1) * 2048 - strt) AS tok_to
 FROM m ORDER BY seq_id, doc_id"""),
+        "fd_gram_embeddings": ("""
+WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> floor(x * 1000)) AS v
+           FROM embeddings),
+ij AS (SELECT a.i, b.j
+       FROM (SELECT unnest(range(64)) AS i) a,
+            (SELECT unnest(range(64)) AS j) b
+       WHERE b.j >= a.i)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       SUM(v[i + 1] * v[j + 1]) AS g
+FROM q, ij GROUP BY 1, 2 ORDER BY i, j"""),
         "curation_pipeline": ("""
 WITH base AS (SELECT doc_id, lang, text FROM documents
               WHERE doc_id % 20 <> 0),

@@ -85,7 +85,8 @@ def main() -> int:
                  "pcbf_user_freq", "vac_user_spectrum",
                  "swcm_recent_user_freq", "cardinality_siblings_shingles",
                  "setsim_siblings_langs", "cws_weighted_sim_langs",
-                 "rnla_dot_embeddings", "estimate_quality_cbf",
+                 "rnla_dot_embeddings", "fd_gram_embeddings",
+                 "estimate_quality_cbf",
                  "hll_distinct_tokens", "hll_setops_langs",
                  "minhash_jaccard_langs", "bloom_xor_custkeys",
                  "kll_quantiles_price", "kll_quantiles_per_lang",

@@ -104,3 +104,8 @@ try:
     register(DDSketch)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.fd import FrequentDirections
+    register(FrequentDirections)
+except ImportError:
+    pass
