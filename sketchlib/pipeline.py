@@ -7,10 +7,10 @@ as ONE lazy Spark plan over the library's own operators:
 
 Each stage is an already-oracle-gated sketchlib operator; composing
 them proves the operators actually chain (column contracts line up,
-nothing materializes in between) and gives the driver contract a
-single strict gate over the WHOLE pipeline: every stage is md5-derived
-/ integer-exact, so DuckDB recomputes the final loader manifest
-byte-for-byte.
+only the two fan-out points persist — see :func:`curate`) and gives
+the driver contract a single strict gate over the WHOLE pipeline:
+every stage is md5-derived / integer-exact, so DuckDB recomputes the
+final loader manifest byte-for-byte.
 
 Scale shape: dedup is one fingerprint aggregation + semi-join;
 decontam is the Bloom-prefilter path (benchmark side compresses to a
@@ -68,17 +68,24 @@ def curate(docs: DataFrame, bench: DataFrame, k: int, max_len: int,
     """Run the full curation pipeline; returns the loader manifest
     ``(seq_id, id, tok_from, tok_to)`` over the k sampled documents.
 
-    All five stages stay lazy — one Spark plan end to end."""
-    kept = exact_dedup_keep(docs, id_col, text_col)
+    The plan stays lazy end to end, but the two fan-out points are
+    persisted: ``kept`` feeds both the decontam shingle scan and the
+    anti-join (without the persist the dedup aggregation + semi-join
+    run twice), and the skinny ``good`` projection feeds both the
+    mixture-weight counts and the sample itself. Both persists hold
+    only survivor rows — at corpus scale that is the working set any
+    engine must touch twice; nothing else is materialized."""
+    kept = exact_dedup_keep(docs, id_col, text_col).persist()
     flagged = contamination(kept, bench, n=3, min_overlap=min_overlap,
                             method="bloom", id_col=id_col,
                             text_col=text_col).select(id_col)
     clean = kept.join(F.broadcast(flagged), id_col, "left_anti")
-    good = quality_keep(clean, text_col)
     ntok = F.size(F.filter(F.split(F.lower(F.col(text_col)),
                                    TOKEN_SPLIT), lambda t: t != ""))
-    sample = temperature_sample(
-        good.select(id_col, group_col, ntok.alias("n_tokens")),
-        group_col, k, [id_col], alpha=alpha, seed=seed)
+    good = (quality_keep(clean, text_col)
+            .select(id_col, group_col, ntok.alias("n_tokens"))
+            .persist())
+    sample = temperature_sample(good, group_col, k, [id_col],
+                                alpha=alpha, seed=seed)
     return pack_manifest(sample.select(id_col, "n_tokens"), max_len,
                          id_col=id_col, seed=seed)
