@@ -1113,6 +1113,35 @@ def q_fd_gram_embeddings(spark, sf_dir):
             .orderBy("i", "j"))
 
 
+def q_fd_gram_per_label(spark, sf_dir):
+    """Per-group Frequent Directions through the grouped harness
+    (build_grouped_sketches + DISTRIBUTED finalize_grouped — blobs
+    never funnel through the driver): one ell=256 FD covariance
+    sketch per embedding label, emitting trace(B^T B) and the (0,1)
+    gram entry. STRICT gate: ell is sized so no per-group shrink
+    fires at the gating scale, and the floor-quantized entries make
+    both outputs exact integer sums (order-independent)."""
+    from functools import partial as _partial
+
+    from sketchlib.aggregate import (build_grouped_sketches,
+                                     finalize_grouped)
+    from sketchlib.sketches.fd import FrequentDirections, fd_trace_g01
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("label",
+                   F.transform(F.col("embedding").cast("array<double>"),
+                               lambda x: F.floor(x * 1000)
+                               .cast("double")).alias("qv"))
+    g = build_grouped_sketches(q, ["label"], "qv",
+                               _partial(FrequentDirections, 256, 64),
+                               as_u64=False)
+    out = finalize_grouped(g, fd_trace_g01, "tg", "array<double>")
+    return (out.select("label",
+                       F.element_at("tg", 1).alias("tr"),
+                       F.element_at("tg", 2).alias("g01"))
+            .orderBy("label"))
+
+
 def q_curation_pipeline(spark, sf_dir):
     """THE composed pipeline (sketchlib/pipeline.py): exact dedup ->
     benchmark decontamination (Bloom-prefilter scale path) -> integer-
@@ -1595,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "curation_pipeline": q_curation_pipeline,
         "fd_gram_embeddings": q_fd_gram_embeddings,
+        "fd_gram_per_label": q_fd_gram_per_label,
         "export_shards": q_export_shards,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
@@ -1924,6 +1954,15 @@ ij AS (SELECT a.i, b.j
 SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
        SUM(v[i + 1] * v[j + 1]) AS g
 FROM q, ij GROUP BY 1, 2 ORDER BY i, j"""),
+        "fd_gram_per_label": ("""
+WITH q AS (SELECT label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> floor(x * 1000)) AS v
+           FROM embeddings)
+SELECT label,
+       SUM(list_sum(list_transform(v, x -> x * x))) AS tr,
+       SUM(v[1] * v[2]) AS g01
+FROM q GROUP BY label ORDER BY label"""),
         "curation_pipeline": ("""
 WITH base AS (SELECT doc_id, lang, text FROM documents
               WHERE doc_id % 20 <> 0),

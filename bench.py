@@ -85,7 +85,7 @@ def main() -> int:
                  "pcbf_user_freq", "vac_user_spectrum",
                  "swcm_recent_user_freq", "cardinality_siblings_shingles",
                  "setsim_siblings_langs", "cws_weighted_sim_langs",
-                 "rnla_dot_embeddings", "fd_gram_embeddings",
+                 "rnla_dot_embeddings", "fd_gram_embeddings", "fd_gram_per_label",
                  "estimate_quality_cbf",
                  "hll_distinct_tokens", "hll_setops_langs",
                  "minhash_jaccard_langs", "bloom_xor_custkeys",

@@ -40,7 +40,15 @@ import struct
 
 import numpy as np
 
-__all__ = ["FrequentDirections"]
+__all__ = ["FrequentDirections", "fd_trace_g01"]
+
+
+def fd_trace_g01(sk: "FrequentDirections") -> list:
+    """Picklable finalize for the grouped harness: [trace(B^T B),
+    (B^T B)[0,1]] — two scalars that summarize the covariance sketch
+    and are exact integers in the quantized exact regime."""
+    G = sk.gram()
+    return [float(np.trace(G)), float(G[0, 1])]
 
 
 class FrequentDirections:
