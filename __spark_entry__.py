@@ -1061,6 +1061,20 @@ def q_dsir_select(spark, sf_dir):
     return sel.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_lm_scores(spark, sf_dir):
+    """CCNet-style LM quality scoring (sketchlib/dsir.py lm_scores;
+    Wenzek et al. LREC 2020): per-doc mean log-probability of its
+    hashed uni+bigram buckets under the corpus's own bucket unigram
+    model — the perplexity-bucketing signal, as one B-row fit + one
+    joinless codegen scoring scan. STRICT gate: md5 buckets + the
+    same libm logs; the mean is floored to 1e-4 against summation-
+    order ulps."""
+    from sketchlib.dsir import lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_scores(docs.select("doc_id", "text")).orderBy("doc_id")
+
+
 def q_pack_manifest(spark, sf_dir):
     """Sequence packing (sketchlib/packing.py): concat-and-chop the
     shuffled document stream into 2048-token training sequences;
@@ -1621,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "training_mix": q_training_mix,
         "dsir_select": q_dsir_select,
+        "lm_scores": q_lm_scores,
         "pack_manifest": q_pack_manifest,
         "curation_pipeline": q_curation_pipeline,
         "fd_gram_embeddings": q_fd_gram_embeddings,
@@ -1922,6 +1937,31 @@ sel AS (
   ORDER BY sel_key DESC, doc_id LIMIT 300)
 SELECT d.doc_id, d.lang FROM documents d JOIN sel USING (doc_id)
 ORDER BY d.doc_id"""),
+        "lm_scores": ("""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+      toks,
+      [toks[i] || ' ' || toks[i+1]
+       for i in generate_series(1, len(toks) - 1)])) AS gram
+  FROM toks),
+feat AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(concat_ws(chr(31), '0', gram)),
+                             1, 13)) AS BIGINT) % 4096 AS bucket
+  FROM grams),
+rc AS (SELECT bucket, COUNT(*) AS n FROM feat GROUP BY bucket),
+nr AS (SELECT SUM(n) AS nt FROM rc),
+lp AS (SELECT bucket,
+              ln((n + 1.0) / ((SELECT nt FROM nr) + 4096)) AS lp
+       FROM rc)
+SELECT doc_id, COUNT(*) AS n_grams,
+       floor(AVG(l.lp) * 1e4) / 1e4 AS lm_score
+FROM feat JOIN lp l USING (bucket)
+GROUP BY doc_id ORDER BY doc_id"""),
         "pack_manifest": ("""
 WITH t AS (
   SELECT doc_id,

@@ -98,7 +98,7 @@ def main() -> int:
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
                  "ann_ivf_topk",
                  "lang_id", "quality_score", "repetition_stats",
-                 "pii_scan", "domain_stats", "training_mix", "dsir_select",
+                 "pii_scan", "domain_stats", "training_mix", "dsir_select", "lm_scores",
                  "pack_manifest", "curation_pipeline",
                  "export_shards", "multimodal_features",
                  "pricing_summary", "top_customers_window",

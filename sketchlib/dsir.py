@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ngram_buckets", "bucket_log_probs", "importance_scores",
-           "dsir_select"]
+           "dsir_select", "lm_scores"]
 
 _SEP = "\x1f"  # unit separator; DuckDB spells it chr(31)
 _TWO52 = float(1 << 52)
@@ -137,6 +137,39 @@ def importance_scores(raw: DataFrame, target: DataFrame,
     lr_col = F.element_at(F.lit(lr), F.col("bucket") + 1)
     return (rawf.select(id_col, lr_col.alias("lr"))
             .groupBy(id_col).agg(F.sum("lr").alias("logw")))
+
+
+def lm_scores(docs: DataFrame, model: DataFrame | None = None,
+              id_col: str = "doc_id", text_col: str = "text",
+              n_buckets: int = 4096, seed: int = 0) -> DataFrame:
+    """CCNet-style LM quality proxy (Wenzek et al., LREC 2020 score
+    documents with a reference LM and filter/bucket by perplexity —
+    here with the hashed n-gram bucket unigram model standing in for
+    the Kneser-Ney LM): ``(id, n_grams, lm_score)`` where lm_score is
+    the per-doc MEAN log-probability of its uni+bigram buckets under
+    the model corpus (``model=None`` fits on ``docs`` itself), i.e. a
+    negative-cross-entropy; higher = more typical text. Same plan
+    shape as :func:`importance_scores`: one B-row fit + one scoring
+    scan with a codegen ``element_at`` lookup, no join. The score is
+    floored to 1e-4 so the strict gate is robust to last-ulp
+    summation-order differences between engines (the per-bucket logs
+    themselves are bit-identical: both engines call the same libm)."""
+    feat = ngram_buckets(docs, id_col, text_col, n_buckets, seed)
+    mfeat = (feat if model is None
+             else ngram_buckets(model, id_col, text_col,
+                                n_buckets, seed))
+    import math
+
+    kv = dict(mfeat.groupBy("bucket")
+              .agg(F.count("*").alias("n")).collect())
+    n_total = sum(kv.values())
+    lp = [math.log((kv.get(b, 0) + 1.0) / (n_total + n_buckets))
+          for b in range(n_buckets)]
+    lp_col = F.element_at(F.lit(lp), F.col("bucket") + 1)
+    return (feat.select(id_col, lp_col.alias("lp"))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 (F.floor(F.avg("lp") * 1e4) / 1e4).alias("lm_score")))
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,

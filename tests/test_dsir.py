@@ -77,3 +77,16 @@ def test_select_prefers_on_target(spark, corpora):
     sel = dsir_select(raw, target, 6, n_buckets=256, gumbel=False)
     ids = {r["doc_id"] for r in sel.collect()}
     assert ids == {d for d, _ in ON}
+
+
+def test_lm_scores_rank_typical_above_gibberish(spark):
+    from sketchlib.dsir import lm_scores
+    typical = [("t%d" % i, "the quick brown fox jumps over the lazy dog")
+               for i in range(20)]
+    odd = [("g", "zq xv jk wq pz lr mn bt")]
+    df = spark.createDataFrame(typical + odd, ["doc_id", "text"])
+    s = {r["doc_id"]: r["lm_score"] for r in lm_scores(df).collect()}
+    assert all(s["t%d" % i] > s["g"] for i in range(20))
+    # n_grams = unigrams + bigrams
+    n = {r["doc_id"]: r["n_grams"] for r in lm_scores(df).collect()}
+    assert n["g"] == 8 + 7
