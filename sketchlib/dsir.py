@@ -105,15 +105,20 @@ def _log_ratio(feat_t: DataFrame, feat_r: DataFrame,
                n_buckets: int) -> list:
     """Driver-side dense log-ratio vector
     ``lr[b] = log p_target[b] - log p_raw[b]`` (both add-one
-    smoothed). Each fit is one map-side-combined aggregation down to
-    <= B rows; only those B (count) pairs reach the driver — B is a
-    fixed hyper-parameter (KBs), independent of corpus size."""
+    smoothed). Both fits run as ONE map-side-combined aggregation
+    over a source-tagged union (one job, not two sequential ones;
+    on a cluster the two corpus scans share a single stage); only
+    <= 2B (src, bucket, count) rows reach the driver — B is a fixed
+    hyper-parameter (KBs), independent of corpus size."""
     import math
 
+    both = feat_t.select(F.lit(0).alias("src"), "bucket").unionByName(
+        feat_r.select(F.lit(1).alias("src"), "bucket"))
+    rows = (both.groupBy("src", "bucket")
+            .agg(F.count("*").alias("n")).collect())
     out = []
-    for feat in (feat_t, feat_r):
-        kv = dict(feat.groupBy("bucket")
-                  .agg(F.count("*").alias("n")).collect())
+    for src in (0, 1):
+        kv = {r["bucket"]: r["n"] for r in rows if r["src"] == src}
         n_total = sum(kv.values())
         out.append([math.log((kv.get(b, 0) + 1.0)
                              / (n_total + n_buckets))
