@@ -327,9 +327,10 @@ def q_bloom_xor_custkeys(spark, sf_dir):
 
 
 def _lang_tokens(spark, sf_dir):
+    # lang rides along in the explode — no join back to docs needed
     docs = _t(spark, sf_dir, "documents")
-    toks = D.normalized_tokens(docs.select("doc_id", "lang", "text"))
-    return (toks.join(docs.select("doc_id", "lang"), "doc_id")
+    return (D.normalized_tokens(docs.select("doc_id", "lang", "text"),
+                                keep_cols=["lang"])
             .select("lang", "token", F.xxhash64("token").alias("kh")))
 
 

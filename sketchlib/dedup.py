@@ -21,9 +21,12 @@ TOKEN_SPLIT = r"\s+"
 
 
 def normalized_tokens(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """(id, pos, token) — lowercased whitespace tokens."""
-    return (df.select(id_col,
+                      text_col: str = "text",
+                      keep_cols: list[str] | None = None) -> DataFrame:
+    """(id, [keep_cols...,] pos, token) — lowercased whitespace
+    tokens. ``keep_cols`` ride along through the explode, saving a
+    join back to the source table for per-group token streams."""
+    return (df.select(id_col, *(keep_cols or []),
                       F.posexplode(F.split(F.lower(F.col(text_col)),
                                            TOKEN_SPLIT))
                        .alias("pos", "token"))
