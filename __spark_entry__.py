@@ -1980,7 +1980,7 @@ p AS (SELECT doc_id, ntok, strt,
       FROM o WHERE ntok > 0),
 m AS (SELECT doc_id, ntok, strt,
              unnest(generate_series(f, l)) AS seq_id FROM p)
-SELECT seq_id, doc_id,
+SELECT seq_id, doc_id, strt AS start,
        GREATEST(0, seq_id * 2048 - strt) AS tok_from,
        LEAST(ntok, (seq_id + 1) * 2048 - strt) AS tok_to
 FROM m ORDER BY seq_id, doc_id"""),
@@ -2039,7 +2039,7 @@ good AS (SELECT doc_id, lang,
   FROM clean
   WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
                         t -> t <> '')) >= 5
-    AND length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 2
+    AND length(regexp_replace(lower(text), '[^\\p{L}\\p{N}]', '', 'g')) * 2
         >= length(text)),
 gc AS (SELECT lang, COUNT(*) AS cnt FROM good GROUP BY lang),
 gw AS (SELECT lang, power(cnt / SUM(cnt) OVER (), -0.5) AS wt FROM gc),
@@ -2058,7 +2058,7 @@ p AS (SELECT doc_id, ntok, strt, strt // 512 AS f,
              (strt + ntok - 1) // 512 AS l FROM o WHERE ntok > 0),
 m AS (SELECT doc_id, ntok, strt,
              unnest(generate_series(f, l)) AS seq_id FROM p)
-SELECT seq_id, doc_id,
+SELECT seq_id, doc_id, strt AS start,
        GREATEST(0, seq_id * 512 - strt) AS tok_from,
        LEAST(ntok, (seq_id + 1) * 512 - strt) AS tok_to
 FROM m ORDER BY seq_id, doc_id"""),

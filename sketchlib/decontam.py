@@ -30,8 +30,11 @@ Scale architecture (100 TB training corpus, benchmark suite MBs-GBs):
   suites. A Bloom filter over benchmark shingle hashes (fixed 2^p bits
   regardless of benchmark size) broadcasts; an Arrow-batch probe
   prefilters training shingles, docs whose *maybe*-hit count reaches
-  ``min_overlap`` become candidates, and an exact broadcast verify
-  join restricted to candidate docs removes Bloom false positives.
+  ``min_overlap`` become candidates, and an exact verify join
+  restricted to candidate docs removes Bloom false positives (the
+  verify join's strategy is left to the planner — the benchmark set
+  is by assumption too big to force-broadcast here, and the candidate
+  side has already been cut to the contamination-suspect sliver).
   Bloom filters have NO false negatives, so the candidate set is a
   superset of the truth and the verified output is EXACT — identical
   to ``method="exact"`` (tests/test_decontam.py asserts this with a
@@ -66,13 +69,19 @@ def benchmark_shingle_set(bench: DataFrame, n: int = 3,
             .select("sh64").distinct())
 
 
-def _doc_overlap(tsh: DataFrame, bset: DataFrame,
-                 id_col: str) -> DataFrame:
+def _doc_overlap(tsh: DataFrame, bset: DataFrame, id_col: str,
+                 broadcast_bench: bool = True) -> DataFrame:
     """Per-doc (n_shingles, n_hit) from a (id, sh64) training shingle
-    stream and a broadcast benchmark shingle set — one scan, one
-    partial-aggregating groupBy."""
-    ann = (tsh.join(F.broadcast(bset.withColumn("__hit", F.lit(1))),
-                    "sh64", "left")
+    stream and the benchmark shingle set — one scan, one
+    partial-aggregating groupBy. ``broadcast_bench=False`` leaves the
+    join strategy to the planner (the bloom path exists precisely for
+    benchmark sets too large to broadcast, so its verify join must not
+    force a broadcast of the full set — AQE still broadcasts it when
+    it does fit)."""
+    marked = bset.withColumn("__hit", F.lit(1))
+    if broadcast_bench:
+        marked = F.broadcast(marked)
+    ann = (tsh.join(marked, "sh64", "left")
               .select(id_col, F.coalesce("__hit", F.lit(0)).alias("hit")))
     return (ann.groupBy(id_col)
                .agg(F.count("*").alias("n_shingles"),
@@ -128,7 +137,8 @@ def contamination(train: DataFrame, bench: DataFrame, n: int = 3,
                    .select(id_col))
         tsh = tsh.join(F.broadcast(cand), id_col, "left_semi")
 
-    agg = _doc_overlap(tsh, bset, id_col)
+    agg = _doc_overlap(tsh, bset, id_col,
+                       broadcast_bench=(method == "exact"))
     return (agg.filter(F.col("n_hit") >= min_overlap)
                .select(id_col,
                        "n_shingles",

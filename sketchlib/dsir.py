@@ -40,8 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ngram_buckets", "bucket_log_probs", "importance_scores",
-           "dsir_select", "lm_scores"]
+__all__ = ["ngram_buckets", "importance_scores", "dsir_select",
+           "lm_scores"]
 
 _SEP = "\x1f"  # unit separator; DuckDB spells it chr(31)
 _TWO52 = float(1 << 52)
@@ -85,20 +85,16 @@ def ngram_buckets(df: DataFrame, id_col: str = "doc_id",
                         .alias("bucket"))
 
 
-def bucket_log_probs(feat: DataFrame, n_buckets: int,
-                     out_col: str = "logp") -> DataFrame:
-    """Add-one-smoothed bucket log-probabilities: B rows
-    ``(bucket, log((n_b + 1) / (N + B)))``. Buckets never observed
-    are absent — consumers must substitute log(1 / (N + B));
-    this keeps the table sparse-safe."""
-    counts = feat.groupBy("bucket").agg(F.count("*").alias("n"))
-    total = counts.agg(F.sum("n").alias("n_total"))
-    return (counts.crossJoin(F.broadcast(total))
-            .select("bucket",
-                    F.log((F.col("n") + 1.0)
-                          / (F.col("n_total") + float(n_buckets)))
-                    .alias(out_col),
-                    F.col("n_total")))
+def _smoothed_log_probs(kv: dict, n_buckets: int) -> list:
+    """Dense add-one-smoothed bucket log-probability vector
+    ``lp[b] = log((n_b + 1) / (N + B))`` from a {bucket: count} dict —
+    the ONE place the smoothing formula lives (shared by the
+    importance-ratio fit and the LM-score fit)."""
+    import math
+
+    n_total = sum(kv.values())
+    return [math.log((kv.get(b, 0) + 1.0) / (n_total + n_buckets))
+            for b in range(n_buckets)]
 
 
 def _log_ratio(feat_t: DataFrame, feat_r: DataFrame,
@@ -110,19 +106,13 @@ def _log_ratio(feat_t: DataFrame, feat_r: DataFrame,
     on a cluster the two corpus scans share a single stage); only
     <= 2B (src, bucket, count) rows reach the driver — B is a fixed
     hyper-parameter (KBs), independent of corpus size."""
-    import math
-
     both = feat_t.select(F.lit(0).alias("src"), "bucket").unionByName(
         feat_r.select(F.lit(1).alias("src"), "bucket"))
     rows = (both.groupBy("src", "bucket")
             .agg(F.count("*").alias("n")).collect())
-    out = []
-    for src in (0, 1):
-        kv = {r["bucket"]: r["n"] for r in rows if r["src"] == src}
-        n_total = sum(kv.values())
-        out.append([math.log((kv.get(b, 0) + 1.0)
-                             / (n_total + n_buckets))
-                    for b in range(n_buckets)])
+    out = [_smoothed_log_probs(
+        {r["bucket"]: r["n"] for r in rows if r["src"] == src},
+        n_buckets) for src in (0, 1)]
     return [t - r for t, r in zip(out[0], out[1])]
 
 
@@ -163,13 +153,9 @@ def lm_scores(docs: DataFrame, model: DataFrame | None = None,
     mfeat = (feat if model is None
              else ngram_buckets(model, id_col, text_col,
                                 n_buckets, seed))
-    import math
-
     kv = dict(mfeat.groupBy("bucket")
               .agg(F.count("*").alias("n")).collect())
-    n_total = sum(kv.values())
-    lp = [math.log((kv.get(b, 0) + 1.0) / (n_total + n_buckets))
-          for b in range(n_buckets)]
+    lp = _smoothed_log_probs(kv, n_buckets)
     lp_col = F.element_at(F.lit(lp), F.col("bucket") + 1)
     return (feat.select(id_col, lp_col.alias("lp"))
             .groupBy(id_col)

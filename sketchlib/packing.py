@@ -7,9 +7,11 @@ order (52-bit md5 key, id tiebreak — same engine-portable recipe as
 :mod:`sketchlib.export`), concatenated token-wise, and chopped into
 windows of exactly ``max_len`` tokens. A document whose tokens span a
 window boundary contributes a slice to each window it touches. The
-output manifest ``(seq_id, doc_id, tok_from, tok_to)`` is what a
-training loader consumes: sequence ``seq_id`` is the concatenation of
-its rows' ``text_tokens[tok_from:tok_to)`` in (seq_id, start) order.
+output manifest ``(seq_id, doc_id, start, tok_from, tok_to)`` is what
+a training loader consumes: sequence ``seq_id`` is the concatenation
+of its rows' ``text_tokens[tok_from:tok_to)`` in (seq_id, start)
+order — ``start`` (the doc's global offset) is part of the manifest
+precisely so that order is recoverable from the output alone.
 
 Scale shape (the 100 TB view): the corpus is scanned ONCE, projecting
 only (id, token count) — KBs per million docs; everything after runs
@@ -54,51 +56,49 @@ def _order_key(id_col: str, seed: int) -> F.Column:
         16, 10).cast("long")
 
 
-def _doc_offsets(df: DataFrame, id_col: str, ntok_col: str, seed: int,
-                 n_ranges: int) -> tuple[DataFrame, DataFrame]:
-    """(result, persisted intermediate) — callers unpersist the second
-    element once the offsets have been consumed.
+def doc_offsets(df: DataFrame, id_col: str = "doc_id",
+                ntok_col: str = "n_tokens", seed: int = 0,
+                n_ranges: int = 64) -> DataFrame:
+    """(id, ntok, start): each document's exclusive token offset in the
+    virtual concatenation under the deterministic shuffle order.
 
     The shuffle key is uniform by construction (md5), so instead of a
     range exchange followed by the window's OWN hash exchange (two
-    shuffles of the skinny table), the bucket is computed directly as
-    the key's high bits: ``bkt = (k * n_ranges) >> 52`` is order-
-    preserving in k and hash-balanced, and the window's single
-    hashpartitioning(bkt) exchange is the ONLY shuffle in the job."""
+    shuffles of the skinny table), the bucket is a fixed-width key
+    range computed by integer division: ``bkt = k div ceil(2^52 /
+    n_ranges)`` is order-preserving in k, hash-balanced, and safe for
+    any n_ranges (an earlier ``(k * n_ranges) >> 52`` form overflowed
+    int64 — an ANSI-mode ArithmeticException — once n_ranges exceeded
+    2048). Per-bucket token totals come from a map-side-combined SUM
+    over the skinny projection (no window, no caching); only the
+    result's own window cumsum pays the single hashpartitioning(bkt)
+    exchange. The skinny projection is evaluated twice (totals job +
+    result consumption) rather than persisted: nothing is left pinned
+    in storage memory after the call, and callers packing a derived
+    plan they'd rather not recompute can persist it themselves."""
     spark = df.sparkSession
     nb = max(1, n_ranges)
-    g = (df.select(F.col(id_col).alias("id"),
-                   F.col(ntok_col).cast("long").alias("ntok"))
-           .withColumn("k", _order_key("id", seed))
-           .withColumn("bkt", F.shiftright(F.col("k") * nb, 52)
-                       .cast("int"))
-           .withColumn("cum", F.sum("ntok").over(
-               Window.partitionBy("bkt").orderBy("k", "id")))
-           .persist())
-    # one total per non-empty bucket; buckets are key prefixes, so
+    step = ((1 << 52) + nb - 1) // nb
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(ntok_col).cast("long").alias("ntok"))
+              .withColumn("k", _order_key("id", seed))
+              .withColumn("bkt", F.expr(f"k div {step}").cast("int")))
+    # one total per non-empty bucket; buckets are key ranges, so
     # bucket order IS global key order
     totals = sorted(
         (r["bkt"], r["tot"]) for r in
-        g.groupBy("bkt").agg(F.max("cum").alias("tot")).collect())
+        base.groupBy("bkt").agg(F.sum("ntok").alias("tot")).collect())
     offsets, acc = [], 0
     for bkt, tot in totals:
         offsets.append((bkt, acc))
         acc += tot
     off = spark.createDataFrame(offsets or [(0, 0)], "bkt int, off long")
-    res = (g.join(F.broadcast(off), "bkt")
+    cum = F.sum("ntok").over(Window.partitionBy("bkt").orderBy("k", "id"))
+    return (base.withColumn("cum", cum)
+            .join(F.broadcast(off), "bkt")
             .select(F.col("id").alias(id_col), "ntok",
                     (F.col("off") + F.col("cum") - F.col("ntok"))
                     .alias("start")))
-    return res, g
-
-
-def doc_offsets(df: DataFrame, id_col: str = "doc_id",
-                ntok_col: str = "n_tokens", seed: int = 0,
-                n_ranges: int = 64) -> DataFrame:
-    """(id, ntok, start): each document's exclusive token offset in the
-    virtual concatenation under the deterministic shuffle order."""
-    res, _ = _doc_offsets(df, id_col, ntok_col, seed, n_ranges)
-    return res
 
 
 def pack_sequences(df: DataFrame, max_len: int, id_col: str = "doc_id",
@@ -129,5 +129,9 @@ def pack_manifest(df: DataFrame, max_len: int, id_col: str = "doc_id",
     lo = F.greatest(F.lit(0), F.col("seq_id") * max_len - F.col("start"))
     hi = F.least(F.col("ntok"),
                  (F.col("seq_id") + 1) * max_len - F.col("start"))
-    return m.select("seq_id", id_col, lo.alias("tok_from"),
+    # `start` stays in the manifest: within a sequence the loader
+    # orders contributing docs by it — without the column the
+    # concatenation order of docs wholly contained in one window
+    # would be unrecoverable (the shuffle key is private to packing)
+    return m.select("seq_id", id_col, "start", lo.alias("tok_from"),
                     hi.alias("tok_to"))

@@ -50,13 +50,18 @@ def quality_keep(docs: DataFrame, text_col: str = "text",
                  min_tokens: int = 5) -> DataFrame:
     """Integer-exact quality predicate: at least ``min_tokens``
     whitespace tokens and an alphanumeric-character majority
-    (2 * n_alnum >= n_chars). Deliberately integer arithmetic only —
-    a float score compared against a threshold is not engine-portable
-    at the boundary; integer comparisons are exact everywhere."""
+    (2 * n_alnum >= n_chars). Alphanumeric means the UNICODE letter /
+    digit classes, not ASCII [a-z0-9] — an ASCII class silently drops
+    every Cyrillic/CJK/Arabic document, emptying exactly the language
+    groups the downstream temperature mixture is meant to up-weight.
+    Deliberately integer arithmetic only — a float score compared
+    against a threshold is not engine-portable at the boundary;
+    integer comparisons are exact everywhere (both Spark's Java regex
+    and DuckDB's RE2 support \\p{L} / \\p{N})."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
                     lambda t: t != "")
     n_alnum = F.length(F.regexp_replace(F.lower(F.col(text_col)),
-                                        "[^a-z0-9]", ""))
+                                        r"[^\p{L}\p{N}]", ""))
     return docs.filter((F.size(toks) >= min_tokens)
                        & (n_alnum * 2 >= F.length(text_col)))
 
@@ -66,15 +71,21 @@ def curate(docs: DataFrame, bench: DataFrame, k: int, max_len: int,
            id_col: str = "doc_id", text_col: str = "text",
            group_col: str = "lang") -> DataFrame:
     """Run the full curation pipeline; returns the loader manifest
-    ``(seq_id, id, tok_from, tok_to)`` over the k sampled documents.
+    ``(seq_id, id, start, tok_from, tok_to)`` over the k sampled
+    documents.
 
-    The plan stays lazy end to end, but the two fan-out points are
-    persisted: ``kept`` feeds both the decontam shingle scan and the
-    anti-join (without the persist the dedup aggregation + semi-join
-    run twice), and the skinny ``good`` projection feeds both the
-    mixture-weight counts and the sample itself. Both persists hold
-    only survivor rows — at corpus scale that is the working set any
-    engine must touch twice; nothing else is materialized."""
+    Execution is partially eager by design — the Bloom build, the
+    packing offset totals, and the fan-out materialization below each
+    run Spark jobs inside this call; the returned manifest itself is
+    lazy. Two fan-out points are persisted: ``kept`` feeds both the
+    decontam shingle scan and the anti-join (without the persist the
+    dedup aggregation + semi-join run twice), and the skinny ``good``
+    projection feeds the mixture-weight counts, the sample, and the
+    packing scans. ``kept`` (full survivor rows incl. text) is
+    UNPERSISTED before returning — materializing ``good`` first makes
+    it no longer needed — so only the (id, group, n_tokens) skinny
+    cache outlives the call, released when the caller unpersists it
+    or the session ends."""
     kept = exact_dedup_keep(docs, id_col, text_col).persist()
     flagged = contamination(kept, bench, n=3, min_overlap=min_overlap,
                             method="bloom", id_col=id_col,
@@ -85,6 +96,8 @@ def curate(docs: DataFrame, bench: DataFrame, k: int, max_len: int,
     good = (quality_keep(clean, text_col)
             .select(id_col, group_col, ntok.alias("n_tokens"))
             .persist())
+    good.count()  # materialize the skinny fan-out; kept is now done
+    kept.unpersist()
     sample = temperature_sample(good, group_col, k, [id_col],
                                 alpha=alpha, seed=seed)
     return pack_manifest(sample.select(id_col, "n_tokens"), max_len,

@@ -98,7 +98,12 @@ class FrequentDirections:
 
     # -- merge / estimate --------------------------------------------
     def merge(self, other: "FrequentDirections") -> "FrequentDirections":
-        assert (self.ell, self.d) == (other.ell, other.d)
+        # a real exception, not assert: merging mismatched geometries
+        # under python -O would silently produce a sketch with neither
+        # party's error bound
+        if (self.ell, self.d) != (other.ell, other.d):
+            raise ValueError(f"geometry mismatch: ({self.ell},{self.d})"
+                             f" vs ({other.ell},{other.d})")
         if other.rows.shape[0]:
             self._append(other.rows)
         return self

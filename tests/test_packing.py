@@ -85,3 +85,34 @@ def test_pack_sequences_span_consistent(spark, docs):
         assert r["first_seq"] == r["start"] // L
         assert r["last_seq"] == (r["start"] + r["ntok"] - 1) // L
         assert r["first_seq"] <= r["last_seq"]
+
+
+def test_offsets_large_n_ranges_no_overflow(spark, docs):
+    """n_ranges beyond 2048 must not overflow the bucket arithmetic
+    (the old (k * n_ranges) >> 52 form threw under ANSI mode); results
+    are bucketing-invariant."""
+    df, _ = docs
+    a = sorted(map(tuple, doc_offsets(df, n_ranges=64).collect()))
+    b = sorted(map(tuple, doc_offsets(df, n_ranges=100000).collect()))
+    assert a == b
+
+
+def test_manifest_orders_within_sequence_by_start(spark, docs):
+    """The manifest must carry enough to reconstruct each training
+    sequence: within a seq_id, sorting rows by `start` concatenates
+    doc slices in layout order, tiling [0, max_len) exactly."""
+    df, _ = docs
+    rows = pack_manifest(df, 16).collect()
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(by_seq)
+    for sid, rs in by_seq.items():
+        rs.sort(key=lambda r: r["start"])
+        pos = 0
+        for r in rs:
+            # slice lands at (start + tok_from) - sid*16 within the seq
+            assert r["start"] + r["tok_from"] - sid * 16 == pos
+            pos += r["tok_to"] - r["tok_from"]
+        if sid != last:
+            assert pos == 16

@@ -60,3 +60,17 @@ def test_curate_respects_k(spark, corpus):
     docs, bench = corpus
     m = curate(docs, bench, k=1, max_len=100, min_overlap=5)
     assert m.select("doc_id").distinct().count() == 1
+
+
+def test_quality_keep_is_unicode_aware(spark):
+    """Non-Latin scripts must pass the alnum-majority test: the class
+    is Unicode \\p{L}\\p{N}, not ASCII [a-z0-9] (an ASCII class would
+    silently drop every Cyrillic/CJK doc before the mixture sample)."""
+    rows = [
+        ("ru", "привет мир как дела сегодня вечером"),
+        ("zh", "你好 世界 这是 一个 测试 文档"),
+        ("junk", "!!! ??? ... --- ***"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in quality_keep(docs, min_tokens=5).collect()}
+    assert kept == {"ru", "zh"}
