@@ -23,6 +23,7 @@ from sketchlib import textstats as TS
 from sketchlib import ann as A
 from sketchlib import graph as G
 from sketchlib import decontam as DC
+from sketchlib import spans as SP
 
 
 _SHIPPED: set[int] = set()
@@ -849,6 +850,26 @@ def q_decontam_ngram_overlap(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup signal (Lee et al. 2021 analog):
+    rolling width-10 token windows hashed (md5 — engine-portable),
+    counted corpus-wide; rows = windows occurring >= 2 times. One
+    hash aggregation on a uniform 128-bit key — no skew, no UDFs."""
+    corpus = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return (SP.duplicated_spans(corpus, width=10)
+            .orderBy("span_hash"))
+
+
+def q_dup_span_coverage(spark, sf_dir):
+    """Per-doc duplicated-substring coverage fraction — the trim/drop
+    signal of substring dedup. Interval union via gaps-and-islands
+    windows partitioned per doc (bounded state), identical SQL shape
+    in the DuckDB oracle."""
+    corpus = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return (SP.span_dup_coverage(corpus, width=10)
+            .orderBy("doc_id"))
+
+
 def _emb_dup_corpus(emb: DataFrame) -> DataFrame:
     """embeddings plus a re-keyed 2x-scaled copy of every 20th vector:
     cosine(v, 2v) == 1.0 exactly (scaling is exact in IEEE754 and
@@ -887,6 +908,22 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return (D.embedding_near_dup_pairs(corpus, threshold=0.99,
                                        method="lsh")
             .orderBy("id_a", "id_b"))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within-cluster cosine near-dup
+    pairs -> transitive closure -> keep one per duplicate group. The
+    strict regime pins the pluggable clustering to an engine-portable
+    expression ((vec_id % 1e6) % 8 — copies land in their original's
+    cluster, so recall on the planted dups is exactly 1), leaving the
+    per-cluster matmul + distributed CC under the oracle gate; the
+    k-means clustering + centroid_far keep rule are pytest-covered
+    (tests/test_ann_dedup.py)."""
+    corpus = _emb_dup_corpus(_t(spark, sf_dir, "embeddings"))
+    assign = corpus.select(
+        "vec_id",
+        ((F.col("vec_id") % 1_000_000) % 8).cast("int").alias("cluster"))
+    return D.semdedup(corpus, threshold=0.99, assign=assign).orderBy("vec_id")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1622,8 +1659,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "dedup_clusters": q_dedup_clusters,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "dup_spans": q_dup_spans,
+        "dup_span_coverage": q_dup_span_coverage,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semdedup": q_semdedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1769,6 +1809,21 @@ reach(node, r) AS (
 SELECT node AS doc_id, MIN(r) AS component,
        (node = MIN(r)) AS is_representative
 FROM reach GROUP BY node ORDER BY doc_id""")
+
+    # rolling width-10 token-window md5 spans over the dup corpus —
+    # element-for-element sketchlib/spans.py (1-based inclusive DuckDB
+    # slice == F.slice; start stays 0-based in both engines)
+    _span_sql = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM {_DUP_SQL} d),
+spans AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(tk[i+1:i+10], ' ')) AS span_hash
+  FROM toks, UNNEST(range(len(tk) - 9)) AS t(i)
+  WHERE len(tk) >= 10)"""
 
     def rank_quantile_sql(table: str, col: str) -> str:
         return f"""
@@ -2373,6 +2428,37 @@ agg AS (
 SELECT doc_id, n_shingles, CAST(n_hit AS BIGINT) AS n_hit,
        floor(n_hit * 1e6 / n_shingles) / 1e6 AS overlap_frac
 FROM agg WHERE n_hit >= 5 ORDER BY doc_id""",
+        "dup_spans": _span_sql + """
+SELECT span_hash, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+FROM spans GROUP BY span_hash HAVING COUNT(*) >= 2
+ORDER BY span_hash""",
+        "dup_span_coverage": _span_sql + """,
+dup AS (SELECT span_hash FROM spans GROUP BY span_hash
+        HAVING COUNT(*) >= 2),
+hits AS (SELECT s.doc_id, s.start, s.start + 10 AS e
+         FROM spans s JOIN dup USING (span_hash)),
+marked AS (
+  SELECT doc_id, start, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM hits),
+isl AS (
+  SELECT doc_id, start, e,
+         SUM(CASE WHEN prev_max IS NULL OR start > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked),
+grp AS (SELECT doc_id, island, MIN(start) AS s, MAX(e) AS e2
+        FROM isl GROUP BY doc_id, island),
+cov AS (SELECT doc_id, SUM(e2 - s) AS covered FROM grp GROUP BY doc_id)
+SELECT c.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(c.covered AS BIGINT) AS covered,
+       floor(c.covered * 1000000 / len(t.tk)) / 1000000.0
+         AS coverage_frac
+FROM cov c JOIN toks t USING (doc_id) ORDER BY c.doc_id""",
         "dedup_embedding": (
             f"WITH base AS {_EMB_DUP_SQL} "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
@@ -2387,6 +2473,25 @@ FROM agg WHERE n_hit >= 5 ORDER BY doc_id""",
             "FROM base a JOIN base b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.99 "
             "ORDER BY id_a, id_b"),
+        "semdedup": f"""
+WITH RECURSIVE raw AS {_EMB_DUP_SQL},
+base AS (SELECT vec_id, CAST((vec_id % 1000000) % 8 AS INT) AS cluster,
+                v AS vec FROM raw),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM base a JOIN base b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM base
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+comp AS (SELECT node AS vec_id, MIN(r) AS component
+         FROM reach GROUP BY node)
+SELECT b.vec_id, b.cluster, c.component,
+       (b.vec_id = c.component) AS keep
+FROM base b JOIN comp c USING (vec_id) ORDER BY vec_id""",
         "dedup_ngram_jaccard": jaccard_core.format(thr=0.6),
         "ann_cosine_topk": """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

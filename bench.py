@@ -92,8 +92,9 @@ def main() -> int:
                  "kll_quantiles_price", "kll_quantiles_per_lang",
                  "ddsketch_quantiles_price",
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",
-                 "dedup_embedding_lsh", "dedup_clusters",
+                 "dedup_embedding_lsh", "dedup_clusters", "semdedup",
                  "decontam_ngram_overlap",
+                 "dup_spans", "dup_span_coverage",
                  "simhash_fingerprints",
                  "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
                  "ann_ivf_topk",

@@ -411,3 +411,156 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b",
                     F.round(F.col("cos_sim"), 6).alias("cos_sim")))
+
+
+def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                       cluster_col: str = "cluster",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       block_rows: int = 4096) -> DataFrame:
+    """Within-cluster embedding-cosine near-dup pairs — the pair step
+    of SemDeDup (Abbas et al. 2023, arXiv:2303.09540): all-pairs
+    cosine is computed only INSIDE each cluster of a coarse
+    clustering, never across the corpus.
+
+    Spark shape: ONE shuffle (groupBy the cluster key), then a numpy
+    blocked ``X̂ X̂ᵀ`` matmul per cluster inside ``applyInPandas`` —
+    O(block_rows * n_c) peak memory per task, no per-pair Python, no
+    cross join. Total cost is Σ n_c², the quantity the paper's
+    cluster-count choice controls; at 100 TB pick nlist so the
+    largest cluster fits one task (the paper uses ~11k clusters for
+    100M+ points). All-pairs needs the whole cluster in one task, so
+    a hot cluster is capped by nlist, not salting.
+
+    Returns ``(id_a < id_b, cos_sim)`` with cosine >= threshold,
+    cos_sim rounded to 1e-6 like
+    :func:`embedding_near_dup_pairs`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.ann import _unit_rows
+
+    thr = float(threshold)
+    empty = {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        m = _unit_rows(pdf[vec_col])
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, block_rows):
+            s = m[lo:lo + block_rows] @ m.T
+            r, c = np.nonzero(s >= thr)
+            keep = (r + lo) < c  # strict upper triangle: id_a < id_b
+            if keep.any():
+                out_a.append(ids[r[keep] + lo])
+                out_b.append(ids[c[keep]])
+                out_s.append(s[r[keep], c[keep]])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cos_sim": np.round(np.concatenate(out_s), 6)})
+
+    return (emb.select(F.col(cluster_col).alias("_cl"), id_col, vec_col)
+            .groupBy("_cl")
+            .applyInPandas(per_cluster,
+                           "id_a long, id_b long, cos_sim double"))
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.95,
+             assign: DataFrame | None = None,
+             centroids=None, nlist: int = 16, iters: int = 5,
+             keep: str = "min_id", id_col: str = "vec_id",
+             vec_col: str = "embedding", **cc_kwargs) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedded corpus. Cluster the embeddings coarsely, find
+    within-cluster cosine near-duplicates, resolve them into
+    duplicate GROUPS (transitive closure via
+    :func:`sketchlib.graph.duplicate_clusters`), and keep exactly one
+    member per group.
+
+    Clustering is pluggable: pass ``assign`` — a ``(id, cluster)``
+    DataFrame — to use any precomputed partition (the strict driver
+    oracle does, with an engine-portable expression cluster), or
+    leave it None to train the deterministic spherical k-means coarse
+    quantizer from :func:`sketchlib.ann.ivf_train` (pass ``centroids``
+    to skip training). Like the paper, pairs crossing cluster
+    boundaries are missed by construction — that is the accepted
+    recall/cost trade.
+
+    ``keep``:
+      - ``"min_id"`` — the group's minimum id (deterministic,
+        engine-portable; what the strict gate checks);
+      - ``"centroid_far"`` — the paper's rule: keep the member with
+        the LOWEST cosine similarity to its cluster centroid (the
+        most atypical example), ties to the lower id. Requires
+        k-means centroids (``assign=None`` or ``centroids=...``).
+
+    Returns ``(id, cluster, component, keep)`` — one row per input
+    vector; pair-free vectors are singleton components with
+    keep=true. Every stage is a bounded shuffle: cluster groupBy,
+    O(log n)-round star CC on the pair graph (tiny vs the corpus),
+    and one component-keyed min — nothing driver-side but the
+    centroid fold.
+    """
+    import numpy as np
+
+    from sketchlib import graph as G
+    from sketchlib.ann import ivf_assign, ivf_train
+
+    if assign is not None:
+        tagged = emb.join(assign.select(id_col, "cluster"), id_col)
+        if keep == "centroid_far" and centroids is None:
+            raise ValueError("keep='centroid_far' needs k-means "
+                             "centroids; pass centroids= or assign=None")
+    else:
+        if centroids is None:
+            centroids = ivf_train(emb, nlist=nlist, iters=iters,
+                                  id_col=id_col, vec_col=vec_col)
+        tagged = ivf_assign(emb, centroids, vec_col=vec_col,
+                            out_col="cluster")
+    tagged = tagged.select(id_col, "cluster", vec_col)
+
+    pairs = semantic_dup_pairs(tagged, threshold, "cluster",
+                               id_col, vec_col)
+    comp = G.duplicate_clusters(pairs, docs=tagged, id_col=id_col,
+                                **cc_kwargs)
+    out = tagged.join(comp, id_col)
+
+    if keep == "min_id":
+        return out.select(id_col, "cluster", "component",
+                          F.col("is_representative").alias("keep"))
+    if keep != "centroid_far":
+        raise ValueError(f"unknown keep rule {keep!r}")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from sketchlib.ann import _unit_rows as _unit
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("double")
+    def _csim(vs, cl):
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        m = _unit(vs)
+        return pd.Series(
+            np.einsum("ij,ij->i", m, C[cl.to_numpy()]))
+
+    scored = out.withColumn("cent_sim",
+                            _csim(F.col(vec_col), F.col("cluster")))
+    winner = (scored.groupBy("component")
+              .agg(F.min(F.struct("cent_sim", id_col)).alias("w"))
+              .select("component", F.col(f"w.{id_col}").alias("_win")))
+    return (scored.join(winner, "component")
+            .select(id_col, "cluster", "component",
+                    (F.col(id_col) == F.col("_win")).alias("keep")))
