@@ -10,22 +10,27 @@ counting has perfect recall for duplicated runs >= w tokens (and by
 construction finds nothing shorter). This module implements that
 analog Spark-first:
 
-- every stage is Catalyst expressions (split/slice/md5/explode) — no
-  Python in the hot path;
-- the span stream has exactly one row per token position, so its
-  volume equals the tokenize stream every other operator already
-  shuffles (NOT width x tokens: the window hash is computed inside
-  ``transform`` before the explode);
-- per-doc coverage merges duplicated-span intervals with the
-  gaps-and-islands window trick (partitioned BY DOC, so window state
-  is bounded by document length, never corpus length);
-- md5 is the window fingerprint so a SQL engine (the DuckDB oracle)
-  reproduces hashes bit-for-bit.
+- window hashing is ONE Arrow-batched kernel (``mapInPandas``) that
+  md5-hashes byte slices of the space-rejoined token stream — a
+  narrow map over the scan, O(tokens) per document, emitting exactly
+  one (16-byte hash, int) row per token position. The pure-Catalyst
+  formulation (md5 o concat_ws o slice inside an array transform)
+  re-evaluated the token split per window element after projection
+  collapse and ran ~7x slower at sf0.1;
+- the duplicate count is one hash aggregation keyed by a uniform
+  128-bit hash — no skew salting needed;
+- per-doc coverage marks duplicated windows with a window COUNT over
+  span_hash (one shuffle — no groupBy + join back, which would
+  recompute or re-shuffle the span stream a second time), then merges
+  intervals with the gaps-and-islands trick partitioned BY DOC, so
+  window state is bounded by document length, never corpus length;
+- md5 is the fingerprint so a SQL engine (the DuckDB oracle)
+  reproduces hashes bit-for-bit: the hashed bytes are exactly
+  ``" ".join(tokens[i:i+w])`` with tokens = lowercased text split on
+  whitespace, empties dropped.
 
-At 100 TB: span hashing is a narrow map over the scan; the duplicate
-count is one hash aggregation keyed by a 128-bit hash (uniform keys —
-no skew salting needed); the coverage join is hash-semi on span_hash.
-Driver never sees row data.
+At 100 TB the driver never sees row data; every stage is a narrow map
+or a single keyed shuffle.
 """
 
 from __future__ import annotations
@@ -39,7 +44,8 @@ def _tok_array(text_col: str):
     """Lowercased whitespace tokens as an array, empties dropped —
     element-for-element what DuckDB's
     list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')
-    produces."""
+    and the Python kernel's re.split produce (ASCII corpus; all three
+    engines agree on ASCII whitespace)."""
     return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
                     lambda x: x != "")
 
@@ -47,22 +53,47 @@ def _tok_array(text_col: str):
 def span_hashes(docs: DataFrame, width: int = 10,
                 id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """``(id, start, span_hash)`` — md5 of every width-token window
-    (space-rejoined), one row per 0-based start position. Documents
-    shorter than ``width`` emit nothing. The hash is computed inside
-    the array ``transform`` so only (16-byte hash, int) rows — never
-    width-replicated token text — reach the explode/shuffle."""
-    toks = _tok_array(text_col)
-    n = F.size(toks)
-    windows = F.when(
-        n >= width,
-        F.transform(F.sequence(F.lit(1), n - width + 1),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i,
-                                                             width))))
-    ).otherwise(F.array().cast("array<string>"))
-    return (docs.select(F.col(id_col), windows.alias("w"))
-            .select(id_col,
-                    F.posexplode("w").alias("start", "span_hash")))
+    """``(id, start, span_hash)`` — md5 hex of every width-token
+    window (space-rejoined), one row per 0-based start position.
+    Documents shorter than ``width`` tokens (or with NULL text) emit
+    nothing.
+
+    The kernel hashes byte slices of one pre-joined token stream per
+    doc (token-boundary offsets precomputed), so each window costs one
+    md5 over ~window bytes — no per-window string rebuilds, no
+    re-tokenization."""
+    w = int(width)
+
+    def kernel(it):
+        import hashlib
+        import re
+
+        import pandas as pd
+        ws = re.compile(TOKEN_SPLIT)
+        for pdf in it:
+            ids, starts, hashes = [], [], []
+            for doc, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
+                if not text:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                n = len(toks)
+                if n < w:
+                    continue
+                joined = " ".join(toks).encode()
+                offs = [0]
+                for t in toks:
+                    offs.append(offs[-1] + len(t.encode()) + 1)
+                for i in range(n - w + 1):
+                    ids.append(doc)
+                    starts.append(i)
+                    hashes.append(hashlib.md5(
+                        joined[offs[i]:offs[i + w] - 1]).hexdigest())
+            yield pd.DataFrame({id_col: ids, "start": starts,
+                                "span_hash": hashes})
+
+    return (docs.select(id_col, text_col)
+            .mapInPandas(kernel,
+                         f"{id_col} long, start int, span_hash string"))
 
 
 def duplicated_spans(docs: DataFrame, width: int = 10,
@@ -89,20 +120,20 @@ def span_dup_coverage(docs: DataFrame, width: int = 10,
     dedup (Lee et al. 2021 cut any duplicated substring; pipelines
     since filter on coverage fraction).
 
-    Plan: span table (one row/token) -> self-duplicate semi-join on
-    span_hash -> per-doc interval union via gaps-and-islands (window
-    partitioned by doc: running max of interval end, new island when
-    a start clears it) -> one sum per doc. Returns
-    ``(id, n_tokens, covered, coverage_frac)`` for covered docs;
-    frac is floor(1e6*covered/n_tokens)/1e6 so any SQL engine
-    reproduces the rounding exactly."""
+    Plan: span kernel (one row/token) -> duplicated-window mark via
+    COUNT over a span_hash window (single shuffle; a groupBy + join
+    back would shuffle the stream twice) -> per-doc interval union
+    via gaps-and-islands (window partitioned by doc: running max of
+    interval end, new island when a start clears it) -> one sum per
+    doc. Returns ``(id, n_tokens, covered, coverage_frac)`` for
+    covered docs; frac is floor(1e6*covered/n_tokens)/1e6 so any SQL
+    engine reproduces the rounding exactly."""
     spans = span_hashes(docs, width, id_col, text_col)
-    dup = (spans.groupBy("span_hash")
-           .agg(F.count("*").alias("cnt"))
-           .filter(F.col("cnt") >= 2)
-           .select("span_hash"))
-    hits = (spans.join(dup, "span_hash")
-            .select(id_col, F.col("start"),
+    hits = (spans
+            .withColumn("cnt", F.count("*").over(
+                Window.partitionBy("span_hash")))
+            .filter(F.col("cnt") >= 2)
+            .select(id_col, "start",
                     (F.col("start") + width).alias("end")))
 
     w = Window.partitionBy(id_col).orderBy("start")
