@@ -425,6 +425,38 @@ def q_minhash_jaccard_langs(spark, sf_dir):
         rows, "lang_a string, lang_b string, jaccard double")
 
 
+def q_minhash_setdiff_langs(spark, sf_dir):
+    """L14 MinHash bottom-k set algebra (mh.h:92-126 + Cohen & Kaplan
+    bottom-k subset-size estimation): pairwise union / intersection /
+    one-sided difference cardinalities between per-language token sets,
+    in the exact regime (k >= |union| => the union bottom-k IS the
+    union, so every estimator returns the exact integer)."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.sketches.mh import MinHashBottomK
+
+    with_lang = _lang_tokens(spark, sf_dir)
+    grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
+                                     _p(MinHashBottomK, 1 << 17),
+                                     salt_buckets=8, pre_distinct=True)
+    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
+    rows = []
+    for la in sorted(sks):
+        for lb in sorted(sks):
+            if la < lb:
+                a, b = sks[la], sks[lb]
+                rows.append((la, lb,
+                             int(round(a.union_cardinality(b))),
+                             int(round(a.intersection_cardinality(b))),
+                             int(round(a.difference_cardinality(b))),
+                             int(round(b.difference_cardinality(a)))))
+    return spark.createDataFrame(
+        rows, "lang_a string, lang_b string, n_union bigint, "
+              "n_inter bigint, n_only_a bigint, n_only_b bigint")
+
+
 def q_kll_quantiles_per_lang(spark, sf_dir):
     """Grouped quantiles through the salted grouped-sketch path +
     distributed finalize: one KLL per language over length(text), exact
@@ -1636,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_xor_custkeys": q_bloom_xor_custkeys,
         "hll_setops_langs": q_hll_setops_langs,
         "minhash_jaccard_langs": q_minhash_jaccard_langs,
+        "minhash_setdiff_langs": q_minhash_setdiff_langs,
         "kll_quantiles_per_lang": q_kll_quantiles_per_lang,
         "pcbf_user_freq": q_pcbf_user_freq,
         "vac_user_spectrum": q_vac_user_spectrum,
@@ -2280,6 +2313,23 @@ pairs AS (SELECT sa.lang AS lang_a, sb.lang AS lang_b,
 SELECT p.lang_a, p.lang_b,
        floor((COALESCE(i.i, 0) * 1.0
               / (p.na + p.nb - COALESCE(i.i, 0))) * 1e6) / 1e6 AS jaccard
+FROM pairs p LEFT JOIN inter i USING (lang_a, lang_b)
+ORDER BY lang_a, lang_b""",
+        "minhash_setdiff_langs": f"""
+WITH tk AS (SELECT DISTINCT d.lang, t.token
+            FROM {_TOKENS_SQL} t JOIN documents d USING (doc_id)),
+sizes AS (SELECT lang, COUNT(*) AS n FROM tk GROUP BY 1),
+inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS i
+          FROM tk a JOIN tk b ON a.token = b.token AND a.lang < b.lang
+          GROUP BY 1, 2),
+pairs AS (SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+                 sa.n AS na, sb.n AS nb
+          FROM sizes sa, sizes sb WHERE sa.lang < sb.lang)
+SELECT p.lang_a, p.lang_b,
+       CAST(p.na + p.nb - COALESCE(i.i, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+       CAST(p.na - COALESCE(i.i, 0) AS BIGINT) AS n_only_a,
+       CAST(p.nb - COALESCE(i.i, 0) AS BIGINT) AS n_only_b
 FROM pairs p LEFT JOIN inter i USING (lang_a, lang_b)
 ORDER BY lang_a, lang_b""",
         "kll_quantiles_per_lang": f"""

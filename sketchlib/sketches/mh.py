@@ -62,17 +62,47 @@ class MinHashBottomK:
         vk = float(self.values[-1]) + 1.0
         return (self.k - 1) * _MAX / vk
 
+    def _union_stats(self, other: "MinHashBottomK"):
+        """Union bottom-k plus membership masks — the shared machinery
+        behind every pairwise set estimator.  Returns
+        ``(union_card_est, n, n_inter, n_only_a, n_only_b)`` where the
+        three counts partition the union's bottom-``n`` sample."""
+        assert self.k == other.k
+        union = np.union1d(self.values, other.values)[:self.k]
+        n = int(union.size)
+        if n == 0:
+            return 0.0, 0, 0, 0, 0
+        in_a = np.isin(union, self.values, assume_unique=True)
+        in_b = np.isin(union, other.values, assume_unique=True)
+        card = MinHashBottomK(self.k, union).cardinality()
+        return (card, n, int((in_a & in_b).sum()),
+                int((in_a & ~in_b).sum()), int((~in_a & in_b).sum()))
+
     def jaccard(self, other: "MinHashBottomK") -> float:
         """|A ∩ B| / |A ∪ B| estimated from the union's bottom-k: the
         fraction of the k smallest union hashes present in both
         sketches. Exact when k >= |A ∪ B|."""
-        assert self.k == other.k
-        union = np.union1d(self.values, other.values)[:self.k]
-        if union.size == 0:
-            return 0.0
-        in_a = np.isin(union, self.values, assume_unique=True)
-        in_b = np.isin(union, other.values, assume_unique=True)
-        return float((in_a & in_b).sum()) / float(union.size)
+        card, n, n_inter, _, _ = self._union_stats(other)
+        return 0.0 if n == 0 else n_inter / n
+
+    def union_cardinality(self, other: "MinHashBottomK") -> float:
+        """|A ∪ B| from the merged sketch's bottom-k estimator; exact
+        (an integer-valued float) when k >= |A ∪ B|."""
+        return self._union_stats(other)[0]
+
+    def intersection_cardinality(self, other: "MinHashBottomK") -> float:
+        """|A ∩ B| = J(A,B) · |A ∪ B|: the union bottom-k is a uniform
+        sample of A ∪ B, so the shared fraction scaled by the union
+        cardinality estimates the intersection (Cohen & Kaplan bottom-k
+        subset-size estimation). Exact when k >= |A ∪ B|."""
+        card, n, n_inter, _, _ = self._union_stats(other)
+        return 0.0 if n == 0 else n_inter * card / n
+
+    def difference_cardinality(self, other: "MinHashBottomK") -> float:
+        """|A \\ B| — the A-only fraction of the union sample scaled by
+        the union cardinality. Exact when k >= |A ∪ B|."""
+        card, n, _, n_only_a, _ = self._union_stats(other)
+        return 0.0 if n == 0 else n_only_a * card / n
 
     def to_bytes(self) -> bytes:
         return (self.MAGIC + struct.pack("<BIQ", 1, self.k,

@@ -115,6 +115,41 @@ def test_minhash_bottomk_estimators_in_sketch_regime():
     assert abs(jac - 0.5) <= 0.1
 
 
+def test_minhash_bottomk_set_algebra_exact_regime():
+    va, vb, a_only, b_only, both = _sets(3000, 2000, 1000)
+    k = 8192  # >= |union| => every estimator is the exact integer
+    A = MinHashBottomK(k)
+    A.update(va)
+    B = MinHashBottomK(k)
+    B.update(vb)
+    assert A.union_cardinality(B) == 4000.0
+    assert A.intersection_cardinality(B) == 1000.0
+    assert A.difference_cardinality(B) == 2000.0  # |A \ B|
+    assert B.difference_cardinality(A) == 1000.0  # |B \ A|
+    # symmetry of the symmetric pieces
+    assert A.union_cardinality(B) == B.union_cardinality(A)
+    assert A.intersection_cardinality(B) == B.intersection_cardinality(A)
+
+
+def test_minhash_bottomk_set_algebra_sketch_regime():
+    n = 200_000
+    vals = RNG.integers(0, 1 << 63, n, dtype=np.uint64)
+    A = MinHashBottomK(1024)
+    A.update(vals[:150_000])
+    B = MinHashBottomK(1024)
+    B.update(vals[50_000:])
+    # union ~ 200k, inter ~ 100k, each diff ~ 50k (values distinct whp);
+    # rse ~ 1/sqrt(k) on the union estimate plus binomial sampling on
+    # the fractions => generous 6-sigma style tolerances
+    assert abs(A.union_cardinality(B) - 200_000) <= 0.2 * 200_000
+    assert abs(A.intersection_cardinality(B) - 100_000) <= 0.2 * 200_000
+    assert abs(A.difference_cardinality(B) - 50_000) <= 0.2 * 200_000
+    # consistency: the three pieces partition the union estimate exactly
+    total = (A.intersection_cardinality(B) + A.difference_cardinality(B)
+             + B.difference_cardinality(A))
+    assert total == pytest.approx(A.union_cardinality(B), rel=1e-9)
+
+
 def test_heavykeeper_zipf_topk_recall():
     # Zipf(1.3) over 50k keys, 500k samples: top-20 must be recovered
     n_keys, n = 50_000, 500_000
