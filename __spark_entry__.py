@@ -301,6 +301,47 @@ def q_cm_intersect_user_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def q_cm_drift_user_freq(spark, sf_dir):
+    """Corpus-drift monitor on CM snapshots (ccm.h point estimates, one
+    sketch per snapshot): per-user event counts in the first vs second
+    half of the month, keeping users whose count moved by >= 3.  At
+    collision-free width both probes are exact => strict conditional-
+    count oracle."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=False)
+    early = ev.filter(F.dayofmonth("ts") <= 15)
+    late = ev.filter(F.dayofmonth("ts") > 15)
+    return (Q.cm_drift_frequency(spark, early, late, "user_id", cfg,
+                                 min_delta=3)
+            .orderBy("key"))
+
+
+def q_kll_ks_drift_langs(spark, sf_dir):
+    """Distribution-drift monitor: two-sample Kolmogorov-Smirnov
+    statistic between the doc-length distribution of lang 'en' and
+    every other language, computed from per-language KLL sketches built
+    through the salted grouped path.  Exact regime (capacity >= group
+    size => empirical CDFs are exact), so the SQL grouped-cumsum KS is
+    the strict oracle."""
+    import math
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.sketches.kll import KLL
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select("lang", F.length("text").cast("double").alias("v"))
+    grouped = build_grouped_sketches(vals, ["lang"], "v",
+                                     _p(KLL, 1 << 15), as_u64=False,
+                                     salt_buckets=4)
+    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
+    base = sks.pop("en")
+    rows = [(lang, math.floor(base.ks_distance(sk) * 1e6) / 1e6)
+            for lang, sk in sorted(sks.items())]
+    return spark.createDataFrame(rows, "lang string, ks double")
+
+
 def q_bloom_xor_custkeys(spark, sf_dir):
     """Bloom XOR symmetric-difference membership (bf.h:540-549 analog):
     emits the SQL-exact xor flag plus ``agree`` asserting the filter
@@ -1665,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmh_weighted_jaccard_langs": q_wmh_weighted_jaccard_langs,
         "filterhll_repeated_shingles": q_filterhll_repeated_shingles,
         "cm_intersect_user_freq": q_cm_intersect_user_freq,
+        "cm_drift_user_freq": q_cm_drift_user_freq,
+        "kll_ks_drift_langs": q_kll_ks_drift_langs,
         "bloom_xor_custkeys": q_bloom_xor_custkeys,
         "hll_setops_langs": q_hll_setops_langs,
         "minhash_jaccard_langs": q_minhash_jaccard_langs,
@@ -2276,6 +2319,36 @@ SELECT user_id AS key,
                   sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END))
             AS BIGINT) AS est_count
 FROM events GROUP BY 1 ORDER BY 1""",
+        "cm_drift_user_freq": """
+SELECT * FROM (
+  SELECT user_id AS key,
+         CAST(sum(CASE WHEN date_part('day', ts) <= 15
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cnt_old,
+         CAST(sum(CASE WHEN date_part('day', ts) > 15
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cnt_new,
+         CAST(sum(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+              AS BIGINT) AS delta
+  FROM events GROUP BY 1)
+WHERE abs(delta) >= 3 ORDER BY key""",
+        "kll_ks_drift_langs": """
+WITH v AS (SELECT lang, CAST(length(text) AS DOUBLE) AS v FROM documents),
+langs AS (SELECT DISTINCT lang FROM v WHERE lang <> 'en'),
+u AS (SELECT l.lang AS lang, x.v,
+             SUM(CASE WHEN x.lang = 'en' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN x.lang = l.lang THEN 1 ELSE 0 END) AS cb
+      FROM langs l JOIN v x ON x.lang IN ('en', l.lang)
+      GROUP BY 1, 2),
+c AS (SELECT lang, v,
+             SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cuma,
+             SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS cumb
+      FROM u),
+t AS (SELECT lang, MAX(cuma) AS na, MAX(cumb) AS nb FROM c GROUP BY 1)
+SELECT c.lang,
+       floor(MAX(ABS(c.cuma * 1.0 / t.na - c.cumb * 1.0 / t.nb)) * 1e6)
+         / 1e6 AS ks
+FROM c JOIN t USING (lang)
+GROUP BY 1 ORDER BY 1""",
         "bloom_xor_custkeys": """
 SELECT o_custkey,
        ((o_custkey IN (SELECT c_custkey FROM customer

@@ -79,6 +79,7 @@ def main() -> int:
     for name in ["cm_event_type_freq", "cm_conservative_user_freq",
                  "occm_user_freq", "heavy_hitter_tokens",
                  "heavy_hitter_events_hk", "cm_intersect_user_freq",
+                 "cm_drift_user_freq", "kll_ks_drift_langs",
                  "cbf_user_freq", "cml_user_freq", "cs4w_user_freq",
                  "cmm_user_freq",
                  "wmh_weighted_jaccard_langs", "filterhll_repeated_shingles",
@@ -88,7 +89,8 @@ def main() -> int:
                  "rnla_dot_embeddings", "fd_gram_embeddings", "fd_gram_per_label",
                  "estimate_quality_cbf",
                  "hll_distinct_tokens", "hll_setops_langs",
-                 "minhash_jaccard_langs", "bloom_xor_custkeys",
+                 "minhash_jaccard_langs", "minhash_setdiff_langs",
+                 "bloom_xor_custkeys",
                  "kll_quantiles_price", "kll_quantiles_per_lang",
                  "ddsketch_quantiles_price",
                  "tdigest_quantiles_value", "dedup_exact", "dedup_minhash",

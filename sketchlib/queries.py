@@ -247,6 +247,31 @@ def cm_intersect_frequency(spark: SparkSession, df_a: DataFrame,
     return _estimate_col(spark, inter, keys, "kh").select("key", "est_count")
 
 
+def cm_drift_frequency(spark: SparkSession, df_old: DataFrame,
+                       df_new: DataFrame, key_col: str, cfg: CMConfig,
+                       min_delta: int = 1) -> DataFrame:
+    """Corpus-drift monitor: one CM per snapshot, probe the union of
+    distinct keys on both, keep keys whose frequency moved by at least
+    ``min_delta`` between snapshots.  At collision-free width both
+    estimates are exact, so the flag set equals the SQL conditional
+    count diff — the strict oracle regime; at production width the
+    one-sided CM guarantee bounds each side's overestimate.  The two
+    builds scan each snapshot once; the probe is a broadcast of two
+    data-size-independent arrays."""
+    ho = df_old.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    hn = df_new.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sko = build_sketch(ho, "kh", partial(CountMin, cfg), pre_aggregate=True)
+    skn = build_sketch(hn, "kh", partial(CountMin, cfg), pre_aggregate=True)
+    keys = ho.unionByName(hn).distinct()
+    est = _estimate_col(spark, sko, keys, "kh", out_col="cnt_old")
+    est = _estimate_col(spark, skn, est, "kh", out_col="cnt_new")
+    return (est.withColumn("delta", F.col("cnt_new") - F.col("cnt_old"))
+            .filter(F.abs("delta") >= min_delta)
+            .select("key", "cnt_old", "cnt_new", "delta"))
+
+
 def bloom_xor_membership(spark: SparkSession, df_a: DataFrame, col_a: str,
                          df_b: DataFrame, col_b: str, probe_df: DataFrame,
                          probe_col: str, p: int = 26,

@@ -107,6 +107,26 @@ class KLL:
         cum = np.cumsum(w)
         return (cum[i - 1] if i > 0 else 0) / cum[-1]
 
+    def ks_distance(self, other: "KLL") -> float:
+        """Two-sample Kolmogorov-Smirnov statistic between the two
+        sketched distributions: ``max_x |F_a(x) - F_b(x)|`` evaluated
+        at every retained point of either sketch.  In the exact regime
+        (no compaction has fired, all weights 1) both CDFs are the
+        empirical CDFs and the statistic is exact; otherwise it is the
+        KS distance between the two sketch-approximated CDFs, off by at
+        most the sum of the two sketches' rank-error bounds."""
+        va, wa = self._weighted()
+        vb, wb = self._weighted() if other is self else other._weighted()
+        if va.size == 0 or vb.size == 0:
+            return float("nan")
+        pts = np.union1d(va, vb)
+        # CDF at each candidate point: cumulative weight of items <= x.
+        ca = np.concatenate([[0], np.cumsum(wa)])
+        cb = np.concatenate([[0], np.cumsum(wb)])
+        fa = ca[np.searchsorted(va, pts, side="right")] / ca[-1]
+        fb = cb[np.searchsorted(vb, pts, side="right")] / cb[-1]
+        return float(np.abs(fa - fb).max())
+
     def to_bytes(self) -> bytes:
         parts = [self.MAGIC,
                  struct.pack("<BIQI", 1, self.k, self.count, len(self.levels))]

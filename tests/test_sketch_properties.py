@@ -145,6 +145,36 @@ def test_kll_exact_when_under_capacity():
     assert kll.rank(49.0) == 0.5
 
 
+def test_kll_ks_distance_exact_regime():
+    rng = np.random.default_rng(11)
+    xa = rng.integers(0, 50, 400).astype(np.float64)
+    xb = (rng.integers(0, 50, 300) + 5).astype(np.float64)
+    a = KLL(k=4096)
+    a.update(xa)
+    b = KLL(k=4096)
+    b.update(xb)
+    # exact empirical KS by brute force over all candidate points
+    pts = np.union1d(xa, xb)
+    fa = np.searchsorted(np.sort(xa), pts, side="right") / xa.size
+    fb = np.searchsorted(np.sort(xb), pts, side="right") / xb.size
+    exact = np.abs(fa - fb).max()
+    assert a.ks_distance(b) == pytest.approx(exact, abs=0)
+    assert b.ks_distance(a) == a.ks_distance(b)  # symmetric
+    assert a.ks_distance(a) == 0.0
+
+
+def test_kll_ks_distance_sketch_regime():
+    rng = np.random.default_rng(12)
+    xa = rng.normal(0, 1, 200_000)
+    xb = rng.normal(0.5, 1, 200_000)  # true KS = |Phi(x)-Phi(x-0.5)| max
+    a = KLL(k=400)
+    a.update(xa)
+    b = KLL(k=400)
+    b.update(xb)
+    # true KS between N(0,1) and N(0.5,1) is 2*Phi(0.25)-1 ~ 0.1974
+    assert abs(a.ks_distance(b) - 0.1974) < 0.03
+
+
 # ------------------------------------------------------------ registry
 def test_registry_merge_blobs_roundtrip():
     a, b = HyperLogLog(10), HyperLogLog(10)
