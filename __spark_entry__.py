@@ -342,6 +342,35 @@ def q_kll_ks_drift_langs(spark, sf_dir):
     return spark.createDataFrame(rows, "lang string, ks double")
 
 
+def q_psi_value_drift(spark, sf_dir):
+    """Quantile-bucket drift table (the PSI decomposition): decile
+    edges from the early-half KLL over events.value, per-bucket item
+    counts for the early vs late month halves.  Exact regime (no
+    compaction) => integer bucket counts with a strict SQL oracle that
+    reproduces the edge rule bit-for-bit (same IEEE ``ceil((i/10.0)*n)``
+    order-statistic index); the PSI scalar itself (KLL.psi) is
+    ln-based and pytest-gated instead."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_sketch
+    from sketchlib.sketches.kll import KLL
+
+    ev = _t(spark, sf_dir, "events")
+    early = (ev.filter(F.dayofmonth("ts") <= 15)
+             .select(F.col("value").cast("double").alias("v")))
+    late = (ev.filter(F.dayofmonth("ts") > 15)
+            .select(F.col("value").cast("double").alias("v")))
+    sko = build_sketch(early, "v", _p(KLL, 1 << 17), as_u64=False)
+    skn = build_sketch(late, "v", _p(KLL, 1 << 17), as_u64=False)
+    import numpy as np
+    edges = np.array([sko.quantile(i / 10) for i in range(1, 10)])
+    co = sko.bucket_counts(edges)
+    cn = skn.bucket_counts(edges)
+    rows = [(i, int(co[i]), int(cn[i])) for i in range(10)]
+    return spark.createDataFrame(
+        rows, "bucket int, cnt_old bigint, cnt_new bigint")
+
+
 def q_bloom_xor_custkeys(spark, sf_dir):
     """Bloom XOR symmetric-difference membership (bf.h:540-549 analog):
     emits the SQL-exact xor flag plus ``agree`` asserting the filter
@@ -1708,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_intersect_user_freq": q_cm_intersect_user_freq,
         "cm_drift_user_freq": q_cm_drift_user_freq,
         "kll_ks_drift_langs": q_kll_ks_drift_langs,
+        "psi_value_drift": q_psi_value_drift,
         "bloom_xor_custkeys": q_bloom_xor_custkeys,
         "hll_setops_langs": q_hll_setops_langs,
         "minhash_jaccard_langs": q_minhash_jaccard_langs,
@@ -2349,6 +2379,27 @@ SELECT c.lang,
          / 1e6 AS ks
 FROM c JOIN t USING (lang)
 GROUP BY 1 ORDER BY 1""",
+        "psi_value_drift": """
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v,
+                  date_part('day', ts) <= 15 AS old FROM events),
+o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v WHERE old),
+n AS (SELECT COUNT(*) AS c FROM v WHERE old),
+edges AS (SELECT o.v AS e
+          FROM range(1, 10) t(i) CROSS JOIN n
+          JOIN o ON o.rn = GREATEST(
+              1, CAST(ceil((t.i / 10.0) * n.c) AS BIGINT))),
+agg AS (SELECT bucket,
+               SUM(CASE WHEN old THEN 1 ELSE 0 END) AS co,
+               SUM(CASE WHEN NOT old THEN 1 ELSE 0 END) AS cn
+        FROM (SELECT (SELECT COUNT(*) FROM edges WHERE e < v.v) AS bucket,
+                     old
+              FROM v)
+        GROUP BY 1)
+SELECT CAST(t.i AS INT) AS bucket,
+       CAST(COALESCE(a.co, 0) AS BIGINT) AS cnt_old,
+       CAST(COALESCE(a.cn, 0) AS BIGINT) AS cnt_new
+FROM range(0, 10) t(i) LEFT JOIN agg a ON a.bucket = t.i
+ORDER BY 1""",
         "bloom_xor_custkeys": """
 SELECT o_custkey,
        ((o_custkey IN (SELECT c_custkey FROM customer

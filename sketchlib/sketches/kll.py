@@ -127,6 +127,33 @@ class KLL:
         fb = cb[np.searchsorted(vb, pts, side="right")] / cb[-1]
         return float(np.abs(fa - fb).max())
 
+    def bucket_counts(self, edges: np.ndarray) -> np.ndarray:
+        """Estimated item counts per bucket for the ``len(edges)+1``
+        buckets ``(-inf, e0], (e0, e1], ..., (e_last, inf)``.  Exact in
+        the no-compaction regime (all weights 1)."""
+        v, w = self._weighted()
+        cum = np.concatenate([[0], np.cumsum(w)])
+        at = cum[np.searchsorted(v, np.asarray(edges, dtype=np.float64),
+                                 side="right")]
+        bounds = np.concatenate([[0], at, [cum[-1]]])
+        return np.diff(bounds).astype(np.int64)
+
+    def psi(self, other: "KLL", buckets: int = 10) -> float:
+        """Population Stability Index of ``other`` vs ``self`` using
+        this sketch's quantile boundaries: sum over buckets of
+        ``(p_new - p_old) * ln(p_new / p_old)`` with the conventional
+        1e-6 floor on empty-bucket fractions.  Exact-regime boundaries
+        and counts make the bucket table SQL-reproducible; the PSI
+        scalar itself involves ``ln`` so the driver query gates the
+        integer bucket counts and pytest gates this estimator."""
+        edges = np.array([self.quantile(i / buckets)
+                          for i in range(1, buckets)])
+        po = self.bucket_counts(edges).astype(np.float64)
+        pn = other.bucket_counts(edges).astype(np.float64)
+        po = np.maximum(po / po.sum(), 1e-6)
+        pn = np.maximum(pn / pn.sum(), 1e-6)
+        return float(((pn - po) * np.log(pn / po)).sum())
+
     def to_bytes(self) -> bytes:
         parts = [self.MAGIC,
                  struct.pack("<BIQI", 1, self.k, self.count, len(self.levels))]

@@ -175,6 +175,33 @@ def test_kll_ks_distance_sketch_regime():
     assert abs(a.ks_distance(b) - 0.1974) < 0.03
 
 
+def test_kll_psi_exact_regime():
+    rng = np.random.default_rng(13)
+    xa = rng.normal(0, 1, 5000)
+    a = KLL(k=1 << 13)
+    a.update(xa)
+    # identical distribution => PSI 0 by construction
+    assert a.psi(a) == 0.0
+    # shifted distribution: PSI equals the hand-computed bucket formula
+    xb = rng.normal(0.8, 1, 4000)
+    b = KLL(k=1 << 13)
+    b.update(xb)
+    edges = np.array([a.quantile(i / 10) for i in range(1, 10)])
+
+    def brute_counts(x):  # (lo, hi] bucketing straight off the raw data
+        at = np.searchsorted(np.sort(x), edges, side="right")
+        return np.diff(np.concatenate([[0], at, [x.size]])).astype(float)
+
+    # exact regime: sketch bucket counts == raw-data bucket counts
+    assert (a.bucket_counts(edges) == brute_counts(xa)).all()
+    assert (b.bucket_counts(edges) == brute_counts(xb)).all()
+    po = np.maximum(brute_counts(xa) / xa.size, 1e-6)
+    pn = np.maximum(brute_counts(xb) / xb.size, 1e-6)
+    want = float(((pn - po) * np.log(pn / po)).sum())
+    assert a.psi(b) == pytest.approx(want, rel=1e-12)
+    assert a.psi(b) > 0.25  # a 0.8-sigma shift is "significant drift"
+
+
 # ------------------------------------------------------------ registry
 def test_registry_merge_blobs_roundtrip():
     a, b = HyperLogLog(10), HyperLogLog(10)
