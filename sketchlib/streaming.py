@@ -59,25 +59,35 @@ class WindowedSketchStore:
 def windowed_sketch_sink(store: WindowedSketchStore,
                          factory: Callable[[], object],
                          key_col: str, ts_col: str,
-                         window: str = "5 minutes"):
+                         window: str = "5 minutes",
+                         hash_values: bool = True):
     """Returns a foreachBatch function building one sketch per tumbling
-    window per micro-batch and committing it to ``store``."""
+    window per micro-batch and committing it to ``store``.
+
+    ``hash_values=True`` (frequency/cardinality sketches) feeds the
+    kernel xxhash64 of the column; ``hash_values=False`` feeds the raw
+    column cast to double — the path for value-distribution sketches
+    (KLL / t-digest / DDSketch) where the magnitude is the datum."""
 
     import numpy as np
     import pandas as pd
 
     def per_batch(df: DataFrame, epoch_id: int) -> None:
+        datum = (F.xxhash64(key_col) if hash_values
+                 else F.col(key_col).cast("double"))
         hashed = df.select(
             F.window(F.col(ts_col), window).alias("w"),
-            F.xxhash64(key_col).alias("kh")
+            datum.alias("kh")
         ).select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                   .alias("ws"), "kh")
 
         def per_window(pdf: pd.DataFrame) -> pd.DataFrame:
             sk = factory()
             vals = pdf["kh"].to_numpy()
-            sk.update(vals.view(np.uint64) if vals.dtype == np.int64
-                      else vals.astype(np.uint64))
+            if hash_values:
+                vals = (vals.view(np.uint64) if vals.dtype == np.int64
+                        else vals.astype(np.uint64))
+            sk.update(vals)
             return pd.DataFrame({"ws": [pdf["ws"].iloc[0]],
                                  "blob": [sk.to_bytes()]})
 
@@ -88,6 +98,26 @@ def windowed_sketch_sink(store: WindowedSketchStore,
             store.commit(str(r.ws), int(epoch_id), bytes(r.blob))
 
     return per_batch
+
+
+def window_drift(store: WindowedSketchStore,
+                 stat: str = "ks") -> list[tuple]:
+    """Distribution drift between consecutive tumbling windows of a
+    value-sketch stream: ``[(window_a, window_b, statistic), ...]`` for
+    each adjacent window pair, where the statistic is the two-sample
+    KS distance (``stat="ks"``) or PSI (``stat="psi"``) between the two
+    windows' KLL sketches.  The streaming half of the batch drift
+    monitors (queries.cm_drift_frequency / KLL.ks_distance): windows
+    accumulate across micro-batches in ``store`` with per-epoch
+    exactly-once commits, so a recovered stream reports the same drift
+    series as an uninterrupted one."""
+    wins = store.windows()
+    out = []
+    for a, b in zip(wins, wins[1:]):
+        sa, sb = store.sketch(a), store.sketch(b)
+        val = sa.ks_distance(sb) if stat == "ks" else sa.psi(sb)
+        out.append((a, b, float(val)))
+    return out
 
 
 def catalog_ingest_sink(catalog, table: str, query_name: str = "stream"):

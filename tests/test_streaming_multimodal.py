@@ -180,3 +180,41 @@ def test_stateful_stream_checkpoint_recovery_bitexact(spark, tmp_path):
         b = deserialize(full[k][1])
         assert (a.registers == b.registers).all()
         assert n_seen == full[k][0]
+
+
+def test_streaming_window_drift_matches_batch_ks(spark, tmp_path):
+    """Streaming drift monitor: per-window KLL value sketches fed by
+    foreachBatch; KS between consecutive windows equals the exact
+    batch two-sample KS (exact regime — no compaction)."""
+    from sketchlib.sketches.kll import KLL
+    from sketchlib.streaming import window_drift
+
+    src = str(tmp_path / "drift_src")
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(6000)
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    store = WindowedSketchStore()
+    sink = windowed_sketch_sink(store, lambda: KLL(1 << 15),
+                                key_col="value", ts_col="ts",
+                                window="1 day", hash_values=False)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    drift = window_drift(store, stat="ks")
+    assert drift, "no adjacent-window pairs"
+
+    # exact per-window value arrays from the batch path
+    pdf = (ev.select(F.date_format(F.window("ts", "1 day").start,
+                                   "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                     F.col("value").cast("double").alias("v"))
+           .toPandas())
+    for wa, wb, ks in drift:
+        xa = np.sort(pdf[pdf.ws == wa].v.to_numpy())
+        xb = np.sort(pdf[pdf.ws == wb].v.to_numpy())
+        pts = np.union1d(xa, xb)
+        fa = np.searchsorted(xa, pts, side="right") / xa.size
+        fb = np.searchsorted(xb, pts, side="right") / xb.size
+        assert ks == pytest.approx(float(np.abs(fa - fb).max()), abs=0)
