@@ -301,6 +301,49 @@ def q_cm_intersect_user_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def _mg_pairs(sk):
+    """Finalizer: (hash, count) pairs in the summary's deterministic
+    (count desc, value asc) order, hashes as signed i64 to match
+    Spark's xxhash64 bigint."""
+    import numpy as np
+
+    v, c = sk.items()
+    return [[int(x), int(y)] for x, y in zip(v.view(np.int64), c)]
+
+
+def q_mg_top_tokens_per_lang(spark, sf_dir):
+    """Per-language top-5 tokens through a grouped Misra-Gries
+    mergeable summary (Agarwal et al. "Mergeable Summaries" — the
+    deterministic sibling of the reference's HeavyKeeper, include/hk.h)
+    with distributed finalize.  Exact regime (k >= per-language
+    distinct => no trim ever fires => every count exact) gives the
+    strict window-rank oracle with (count desc, token) tie-break."""
+    from functools import partial as _p
+
+    from pyspark.sql import Window
+
+    from sketchlib.aggregate import build_grouped_sketches, finalize_grouped
+    from sketchlib.sketches.mg import MisraGries
+
+    wl = _lang_tokens(spark, sf_dir)
+    grouped = build_grouped_sketches(wl, ["lang"], "kh",
+                                     _p(MisraGries, 1 << 17),
+                                     salt_buckets=8, pre_aggregate=True)
+    pairs = finalize_grouped(grouped, _mg_pairs, "pairs",
+                             "array<array<bigint>>")
+    flat = (pairs.select("lang", F.explode("pairs").alias("p"))
+            .select("lang", F.element_at("p", 1).alias("kh"),
+                    F.element_at("p", 2).alias("cnt")))
+    tokmap = wl.select("kh", "token").distinct()
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (flat.join(tokmap, "kh")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("lang", "token", F.col("cnt").cast("long").alias("cnt"),
+                    "rk")
+            .orderBy("lang", "rk"))
+
+
 def q_cm_drift_user_freq(spark, sf_dir):
     """Corpus-drift monitor on CM snapshots (ccm.h point estimates, one
     sketch per snapshot): per-user event counts in the first vs second
@@ -1738,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_drift_user_freq": q_cm_drift_user_freq,
         "kll_ks_drift_langs": q_kll_ks_drift_langs,
         "psi_value_drift": q_psi_value_drift,
+        "mg_top_tokens_per_lang": q_mg_top_tokens_per_lang,
         "bloom_xor_custkeys": q_bloom_xor_custkeys,
         "hll_setops_langs": q_hll_setops_langs,
         "minhash_jaccard_langs": q_minhash_jaccard_langs,
@@ -2307,6 +2351,16 @@ ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
         "heavy_hitter_tokens": (
             f"SELECT token, COUNT(*) AS cnt FROM {_TOKENS_SQL} tk "
             "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"),
+        "mg_top_tokens_per_lang": f"""
+WITH tc AS (SELECT d.lang, t.token, COUNT(*) AS cnt
+            FROM {_TOKENS_SQL} t JOIN documents d USING (doc_id)
+            GROUP BY 1, 2),
+rk AS (SELECT lang, token, cnt,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, token) AS rk
+       FROM tc)
+SELECT lang, token, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 5 ORDER BY lang, rk""",
         "heavy_hitter_events_hk": (
             "SELECT CAST(CAST(floor(sqrt(event_id)) AS BIGINT) AS VARCHAR) "
             "AS key, COUNT(*) AS cnt FROM events "

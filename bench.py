@@ -78,7 +78,8 @@ def main() -> int:
     qs = E.queries()
     for name in ["cm_event_type_freq", "cm_conservative_user_freq",
                  "occm_user_freq", "heavy_hitter_tokens",
-                 "heavy_hitter_events_hk", "cm_intersect_user_freq",
+                 "heavy_hitter_events_hk", "mg_top_tokens_per_lang",
+                 "cm_intersect_user_freq",
                  "cm_drift_user_freq", "kll_ks_drift_langs", "psi_value_drift",
                  "cbf_user_freq", "cml_user_freq", "cs4w_user_freq",
                  "cmm_user_freq",

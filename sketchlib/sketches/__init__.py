@@ -109,3 +109,8 @@ try:
     register(FrequentDirections)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.mg import MisraGries
+    register(MisraGries)
+except ImportError:
+    pass

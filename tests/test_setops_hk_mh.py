@@ -220,3 +220,45 @@ def test_count_min_log_power_of_two_and_merge():
     # max merge: idempotent, commutative
     m = deserialize(blob).merge(deserialize(blob))
     assert (m.estimate(keys) == expect).all()
+
+
+def test_misra_gries_exact_regime_and_roundtrip():
+    from sketchlib.sketches.base import deserialize
+    from sketchlib.sketches.mg import MisraGries
+
+    vals = RNG.integers(0, 800, 30000, dtype=np.uint64)
+    mg = MisraGries(1024)
+    mg.update(vals)
+    u, c = np.unique(vals, return_counts=True)
+    # no trim fired (k >= distinct): every count exact, n carried
+    assert (mg.estimate(u) == c).all()
+    assert mg.n == vals.size
+    rt = deserialize(mg.to_bytes())
+    assert (rt.estimate(u) == c).all() and rt.n == mg.n
+    # untracked key -> 0
+    assert mg.estimate(np.array([10**12], dtype=np.uint64))[0] == 0
+
+
+def test_misra_gries_merge_tree_bound():
+    """Mergeable-summaries guarantee: one-sided undercount <= n/(k+1)
+    across an arbitrary merge tree (7 uneven partitions, k=64)."""
+    from sketchlib.sketches.mg import MisraGries
+
+    zipf = (RNG.zipf(1.4, 300_000) % 20_000).astype(np.uint64)
+    parts = np.array_split(zipf, [1000, 5000, 40_000, 41_000,
+                                  150_000, 299_000])
+    acc = None
+    for p in parts:
+        s = MisraGries(64)
+        s.update(p)
+        s = MisraGries.from_bytes(s.to_bytes())
+        acc = s if acc is None else acc.merge(s)
+    u, c = np.unique(zipf, return_counts=True)
+    est = acc.estimate(u)
+    assert (est <= c).all()                       # never overcounts
+    assert (c - est <= acc.error_bound()).all()   # Thm 1 bound
+    assert acc.n == zipf.size
+    assert acc.values.size <= 64
+    # the true heavy hitters (count > n/(k+1)) are all tracked
+    heavy = u[c > acc.error_bound()]
+    assert np.isin(heavy, acc.values).all()
