@@ -176,3 +176,16 @@ def test_packing_no_single_partition_window(spark):
     kinds = set(re.findall(r"(\w+partitioning)\(\w+", off_plan))
     assert kinds == {"hashpartitioning"}
     assert "hashpartitioning(bkt" in off_plan
+
+
+def test_cm_drift_probe_has_no_join_between_snapshots(spark):
+    """The drift probe annotates the distinct-key set with both
+    snapshot estimates via broadcast blobs — two chained pandas-UDF
+    column evals, never a join between the two snapshot builds."""
+    plan = _plan(E.queries()["cm_drift_user_freq"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    # the probe's only exchanges: union-distinct agg + final sort
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:400]
