@@ -1552,6 +1552,29 @@ def q_bloom_semijoin_lineitem(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def q_skew_join_priority(spark, sf_dir):
+    """Skew-resistant split join (sketchlib/joins.py:skew_split_join):
+    lineitem x orders where the keys the library's own Misra-Gries
+    summary flags as hot take a broadcast hash join (the skewed mass
+    never shuffles) and the cold remainder takes the ordinary shuffle
+    join — the north rule's hot-conversation mitigation applied to
+    joins. Row-identical to the plain join for ANY hot set (the split
+    is a pure partition of the key space); the strict gate aggregates
+    the full joined result so every row counts."""
+    from sketchlib.joins import skew_split_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    j = skew_split_join(li, od, "l_orderkey", "o_orderkey",
+                        top_k=16, summary_k=1024)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("l_quantity").alias("sum_qty"))
+            .orderBy("o_orderpriority"))
+
+
 def q_range_join_ship_window(spark, sf_dir):
     """Interval (range) join (sketchlib/joins.py:range_join): lineitems
     shipped inside their order's 30-day fulfillment window
@@ -1841,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_events": q_stratified_sample_events,
         "join_size_countsketch": q_join_size_countsketch,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "skew_join_priority": q_skew_join_priority,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2299,6 +2323,11 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "skew_join_priority": ("""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
         "range_join_ship_window": ("""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,

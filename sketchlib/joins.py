@@ -39,7 +39,7 @@ from sketchlib.aggregate import build_sketch
 from sketchlib.queries import _cached_sketch
 
 __all__ = ["join_size_estimate", "bloom_semi_join", "asof_join",
-           "range_join"]
+           "range_join", "skew_split_join"]
 
 
 def join_size_estimate(df_a: DataFrame, col_a: str,
@@ -209,3 +209,99 @@ def bloom_semi_join(spark: SparkSession, fact: DataFrame, fact_key: str,
     return prefiltered.join(dim.select(F.col(dim_key).alias(fact_key))
                             .distinct(),
                             on=fact_key, how="leftsemi")
+
+
+def hot_keys(df: DataFrame, key_col: str, top_k: int = 32,
+             summary_k: int = 4096,
+             min_count: int | None = None) -> list[tuple[int, int]]:
+    """One-pass hot-key detection: the Misra-Gries mergeable summary
+    (sketchlib/sketches/mg.py) built over ``df[key_col]`` hashed to
+    int64, returning the ``top_k`` (key, count_lower_bound) pairs.
+
+    Why a sketch and not ``groupBy(key).count().orderBy(...)``: at
+    10^12 rows the exact count is itself a shuffle keyed by the skewed
+    column — the hottest key's partial counts still combine map-side,
+    so the exact path *works*, but it materializes |distinct| rows
+    and a full exchange just to learn the top handful. The MG build is
+    one pre-aggregated pass whose Python input is |distinct| weighted
+    rows and whose merge state is ``summary_k`` counters, with the
+    PODS'12 guarantee ``true - n/(summary_k+1) <= est <= true`` over
+    arbitrary merge trees — any key with frequency share above
+    ``1/(summary_k+1)`` is guaranteed present.
+
+    ``key_col`` must be integral (the caller hashes strings with
+    ``F.xxhash64`` and maps back via join if needed); counts are the
+    MG lower bounds, ordering by them finds every key whose true share
+    exceeds ``top_k/(summary_k+1)``-ish mass — exactly the broadcast-
+    worthy regime."""
+    from sketchlib.sketches.mg import MisraGries
+
+    mg = build_sketch(df.select(F.col(key_col).cast("long").alias("kh")),
+                      "kh", partial(MisraGries, summary_k),
+                      pre_aggregate=True)
+    vals, counts = mg.items()
+    vals = vals.view(np.int64)
+    order = np.argsort(counts)[::-1][:top_k]
+    pairs = [(int(vals[i]), int(counts[i])) for i in order]
+    if min_count is not None:
+        pairs = [(v, c) for v, c in pairs if c >= min_count]
+    return pairs
+
+
+def skew_split_join(fact: DataFrame, dim: DataFrame,
+                    fact_key: str, dim_key: str | None = None,
+                    top_k: int = 32, summary_k: int = 4096,
+                    how: str = "inner",
+                    hot: list[int] | None = None) -> DataFrame:
+    """Skew-resistant equi-join: split the key space into sketch-
+    detected hot keys (broadcast hash join — the skewed mass never
+    shuffles) and the cold remainder (ordinary shuffle join), then
+    union. The north rule's hot-conversation problem applied to joins:
+    one conv_id holding 1% of 10^12 rows sends 10^10 rows through a
+    single reducer in a plain shuffle join; here those rows stay where
+    they are and the dim rows come to them.
+
+    Correctness does NOT depend on the sketch: any ``hot`` set is a
+    pure partition of the key space, so hot-side ∪ cold-side results
+    are row-identical to ``fact.join(dim, ...)`` — the MG summary only
+    steers the physical plan (the same contract as AQE's skew-join
+    mitigation, but available to any engine version, deterministic,
+    and driven by the library's own mergeable summary). The driver
+    query is strict-gated against the plain-join SQL oracle.
+
+    ``how`` supports ``inner`` and ``leftsemi`` — the shapes where a
+    null/absent fact key contributes no output row, which is what
+    makes the two-way filter split exact.
+
+    ``hot`` overrides detection (e.g. reuse one summary across many
+    joins in a session)."""
+    if how not in ("inner", "leftsemi"):
+        raise ValueError("skew_split_join supports inner/leftsemi only")
+    dim_key = dim_key or fact_key
+    if hot is None:
+        hot = [v for v, _ in hot_keys(fact, fact_key,
+                                      top_k=top_k, summary_k=summary_k)]
+    if not hot:
+        return fact.join(dim, fact[fact_key] == dim[dim_key], how)
+
+    hot_arr = F.array(*[F.lit(v).cast("long") for v in hot])
+    is_hot = F.array_contains(hot_arr, F.col(fact_key).cast("long"))
+
+    fact_hot = fact.filter(is_hot)
+    fact_cold = fact.filter(~is_hot)  # null keys drop: no-op for inner/semi
+    dim_is_hot = F.array_contains(hot_arr, F.col(dim_key).cast("long"))
+    dim_hot = dim.filter(dim_is_hot)
+    dim_cold = dim.filter(~dim_is_hot)
+
+    if dim_key == fact_key:
+        # name-based join: the shared key column appears once
+        joined_hot = fact_hot.join(F.broadcast(dim_hot), on=fact_key, how=how)
+        joined_cold = fact_cold.join(dim_cold, on=fact_key, how=how)
+    else:
+        joined_hot = fact_hot.join(F.broadcast(dim_hot),
+                                   fact_hot[fact_key] == dim_hot[dim_key],
+                                   how)
+        joined_cold = fact_cold.join(dim_cold,
+                                     fact_cold[fact_key] == dim_cold[dim_key],
+                                     how)
+    return joined_hot.unionByName(joined_cold)

@@ -189,3 +189,73 @@ def test_range_join_plans_hash_join_not_bnlj(spark):
                                 (F.col("id") + 5).alias("e"))
     plan = plan_of(range_join(p, "v", iv, "s", "e", bucket_width=5))
     assert "NestedLoop" not in plan and "HashJoin" in plan
+
+
+# ---- skew_split_join ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed_sides(spark):
+    """Fact side where key 7 holds half the rows (the hot-conversation
+    shape); dim side has one row per key plus keys absent from fact."""
+    rows = [(7, i) for i in range(3000)] + \
+           [(i % 97 + 100, i) for i in range(3000)]
+    fact = spark.createDataFrame(rows, "k long, payload long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 260)], "k long, dpay string")
+    return fact.cache(), dim.cache()
+
+
+def test_hot_keys_finds_the_hot_key(spark, skewed_sides):
+    from sketchlib.joins import hot_keys
+    fact, _ = skewed_sides
+    pairs = hot_keys(fact, "k", top_k=5, summary_k=512)
+    assert pairs[0][0] == 7
+    # MG lower bound: true=3000, off by at most n/(k+1)
+    assert 3000 - 6000 // 513 <= pairs[0][1] <= 3000
+
+
+def test_skew_split_join_row_identical(spark, skewed_sides):
+    from sketchlib.joins import skew_split_join
+    fact, dim = skewed_sides
+    plain = fact.join(dim, "k").select("k", "payload", "dpay")
+    split = (skew_split_join(fact, dim, "k", top_k=4, summary_k=256)
+             .select("k", "payload", "dpay"))
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
+
+
+def test_skew_split_join_leftsemi_and_override(spark, skewed_sides):
+    from sketchlib.joins import skew_split_join
+    fact, dim = skewed_sides
+    plain = fact.join(dim, "k", "leftsemi")
+    split = skew_split_join(fact, dim, "k", how="leftsemi", hot=[7])
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
+    # hot=[] degrades to the plain join
+    same = skew_split_join(fact, dim, "k", hot=[])
+    assert same.count() == fact.join(dim, "k").count()
+
+
+def test_skew_split_join_plan_broadcasts_only_hot_side(spark, skewed_sides):
+    """With auto-broadcast off, the hot side must still plan a
+    BroadcastHashJoin (explicit hint) while the cold side shuffles —
+    the whole point of the operator."""
+    from sketchlib.joins import skew_split_join
+    fact, dim = skewed_sides
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = skew_split_join(fact, dim, "k", hot=[7])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_skew_split_join_rejects_outer(spark, skewed_sides):
+    from sketchlib.joins import skew_split_join
+    fact, dim = skewed_sides
+    with pytest.raises(ValueError):
+        skew_split_join(fact, dim, "k", how="left")
