@@ -1552,6 +1552,28 @@ def q_bloom_semijoin_lineitem(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def q_range_buckets_price(spark, sf_dir):
+    """Sketch-driven equi-depth range partitioning
+    (sketchlib/partitioning.py): KLL bounds in the exact regime
+    (capacity >= n => bound i = smallest value with rank >=
+    ceil(i/8 * n), the same rank spec the KLL quantile gate uses),
+    bucket id = codegen sum of (value > bound) comparisons. The gate
+    recounts every row's bucket in SQL — bounds AND assignment both
+    strict. This is the operator that replaces repartitionByRange's
+    sampling pass with a mergeable, reusable sketch (co-partitioning
+    two tables from one bounds object)."""
+    from sketchlib.partitioning import kll_range_bounds, range_bucket_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = kll_range_bounds(li, "l_extendedprice", 8,
+                              k=max(1 << 17, li.count() + 1))
+    return (li.withColumn("bucket",
+                          range_bucket_col("l_extendedprice", bounds))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"))
+            .orderBy("bucket"))
+
+
 def q_skew_join_priority(spark, sf_dir):
     """Skew-resistant split join (sketchlib/joins.py:skew_split_join):
     lineitem x orders where the keys the library's own Misra-Gries
@@ -1865,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_countsketch": q_join_size_countsketch,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "skew_join_priority": q_skew_join_priority,
+        "range_buckets_price": q_range_buckets_price,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2323,6 +2346,19 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "range_buckets_price": ("""
+WITH s AS (SELECT l_extendedprice AS v,
+                  row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM lineitem),
+qs AS (SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q),
+bounds AS (SELECT v AS b FROM qs JOIN s
+             ON s.rn = CAST(ceil(q * s.n) AS BIGINT))
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (SELECT CAST((SELECT COUNT(*) FROM bounds WHERE t.v > b) AS BIGINT)
+               AS bucket
+      FROM (SELECT l_extendedprice AS v FROM lineitem) t)
+GROUP BY bucket ORDER BY bucket"""),
         "skew_join_priority": ("""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
        SUM(l_quantity) AS sum_qty

@@ -1,0 +1,82 @@
+"""Sketch-driven range partitioning: equi-depth bounds from a KLL
+sketch, applied as a codegen-friendly bucket column.
+
+Spark's own ``repartitionByRange`` computes its bounds by SAMPLING the
+input — which re-executes the upstream plan once just to sample it,
+resists reuse (every call re-samples, two tables never agree on
+bounds), and gives no error guarantee on the split balance. The
+library already has the right primitive: a mergeable KLL sketch built
+in one pass (often as a byproduct of a pass the pipeline already
+makes) yields equi-depth bounds with the KLL rank guarantee, and the
+SAME bounds object can partition MANY tables consistently — the
+co-location prerequisite for range-bucketed merge joins and for
+min/max-prunable file layouts (write with ``partitionBy(bucket)`` or
+``sortWithinPartitions(bucket, col)`` and every file's value range is
+disjoint).
+
+The bucket expression is a sum of ``(col > bound)`` casts — pure
+whole-stage-codegen comparisons, no UDF, no interpreted higher-order
+functions.
+
+Reference tie-in: the reference library's quantile niche (SURVEY.md
+§2.2 L13) feeds its estimates to analysis scripts; here the same
+sketch *steers the physical layout*, which is what a distributed
+engine actually needs quantiles for.
+"""
+
+from __future__ import annotations
+
+from functools import partial, reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sketchlib.aggregate import build_sketch
+from sketchlib.sketches.kll import KLL
+
+__all__ = ["kll_range_bounds", "range_bucket_col",
+           "repartition_by_sketch_ranges"]
+
+
+def kll_range_bounds(df: DataFrame, col: str, n_buckets: int,
+                     k: int = 200) -> list[float]:
+    """Equi-depth bucket bounds for ``df[col]``: the ``i/n_buckets``
+    KLL quantiles (smallest value with rank >= ceil(q*n)), i in
+    1..n_buckets-1. One distributed pass, blob-sized merge traffic;
+    ``k >= n`` is the exact regime (rank-exact bounds, the regime the
+    driver query gates), ``k=200`` gives ~1.3% rank error at any n."""
+    sk = build_sketch(df.select(F.col(col).cast("double").alias("v")),
+                      "v", partial(KLL, k), as_u64=False)
+    return [float(sk.quantile(i / n_buckets))
+            for i in range(1, n_buckets)]
+
+
+def range_bucket_col(col: str, bounds: list[float]) -> Column:
+    """Bucket id = number of bounds strictly below the value —
+    ``sum_i (col > bounds_i)`` as chained codegen comparisons.
+    Rows with NULL get bucket NULL (Spark comparison semantics)."""
+    if not bounds:
+        return F.lit(0).cast("long")
+    terms = [(F.col(col) > F.lit(float(b))).cast("long") for b in bounds]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def repartition_by_sketch_ranges(df: DataFrame, col: str,
+                                 n_buckets: int, k: int = 200,
+                                 bounds: list[float] | None = None,
+                                 bucket_col: str = "__range_bucket",
+                                 keep_bucket: bool = False) -> DataFrame:
+    """Range-repartition ``df`` into ``n_buckets`` equi-depth value
+    ranges of ``col`` using sketch bounds instead of Spark's sampling.
+
+    The exchange is ``repartitionByRange`` on the small-int bucket id
+    (its internal sampling now touches a {0..n_buckets-1} domain, not
+    the raw column), so partitions ascend with the bucket id and the
+    per-partition value ranges are pairwise disjoint — the property
+    that makes min/max file pruning and range-bucketed merge joins
+    work. Pass the same ``bounds`` to partition several tables
+    consistently."""
+    if bounds is None:
+        bounds = kll_range_bounds(df, col, n_buckets, k=k)
+    out = df.withColumn(bucket_col, range_bucket_col(col, bounds))
+    out = out.repartitionByRange(n_buckets, F.col(bucket_col))
+    return out if keep_bucket else out.drop(bucket_col)

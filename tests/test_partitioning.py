@@ -1,0 +1,83 @@
+"""Sketch-driven range partitioning (sketchlib/partitioning.py).
+
+Gates: exact-regime bounds equal rank quantiles; bucket assignment
+matches a driver-side recount; skewed input still yields balanced,
+range-disjoint partitions; shared bounds co-partition two tables
+consistently (the range-join co-location prerequisite).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.partitioning import (kll_range_bounds, range_bucket_col,
+                                    repartition_by_sketch_ranges)
+
+
+@pytest.fixture(scope="module")
+def skewed_vals(spark):
+    # lognormal-ish skew: many small values, a long right tail
+    rng = np.random.default_rng(7)
+    vals = np.exp(rng.normal(0.0, 1.5, size=20_000)).tolist()
+    return spark.createDataFrame([(float(v),) for v in vals],
+                                 "v double").cache()
+
+
+def test_exact_regime_bounds_are_rank_quantiles(spark, skewed_vals):
+    n = skewed_vals.count()
+    bounds = kll_range_bounds(skewed_vals, "v", 4, k=n + 1)
+    arr = np.sort(np.array(skewed_vals.toPandas()["v"]))
+    for i, b in enumerate(bounds, start=1):
+        q = i / 4
+        assert b == arr[int(np.ceil(q * n)) - 1]
+
+
+def test_bucket_col_matches_numpy(spark, skewed_vals):
+    bounds = kll_range_bounds(skewed_vals, "v", 8, k=30_000)
+    got = (skewed_vals
+           .withColumn("b", range_bucket_col("v", bounds))
+           .groupBy("b").count().toPandas()
+           .sort_values("b").reset_index(drop=True))
+    arr = np.array(skewed_vals.toPandas()["v"])
+    want = (arr[:, None] > np.array(bounds)[None, :]).sum(axis=1)
+    wc = np.bincount(want, minlength=8)
+    assert int(got["count"].sum()) == arr.size
+    for _, row in got.iterrows():
+        assert int(row["count"]) == int(wc[int(row["b"])])
+
+
+def test_partitions_balanced_and_range_disjoint(spark, skewed_vals):
+    n_buckets = 8
+    out = repartition_by_sketch_ranges(skewed_vals, "v", n_buckets,
+                                       k=30_000)
+    sizes_minmax = (out.withColumn("pid", F.spark_partition_id())
+                    .groupBy("pid")
+                    .agg(F.count("*").alias("c"),
+                         F.min("v").alias("lo"), F.max("v").alias("hi"))
+                    .orderBy("pid").toPandas())
+    n = skewed_vals.count()
+    mean = n / n_buckets
+    nonempty = sizes_minmax[sizes_minmax["c"] > 0]
+    # equi-depth despite the skew: every partition within 2x of mean
+    assert nonempty["c"].max() <= 2 * mean
+    # ranges pairwise disjoint in partition order
+    his = nonempty["hi"].to_numpy()
+    los = nonempty["lo"].to_numpy()
+    assert all(his[i] <= los[i + 1] for i in range(len(nonempty) - 1))
+
+
+def test_shared_bounds_copartition_two_tables(spark, skewed_vals):
+    """Two tables bucketed with the SAME bounds agree on every value's
+    bucket — the contract sampling-based repartitionByRange cannot
+    give (each call re-samples its own input)."""
+    bounds = kll_range_bounds(skewed_vals, "v", 4, k=30_000)
+    other = skewed_vals.sample(0.3, seed=1)
+    a = skewed_vals.withColumn("b", range_bucket_col("v", bounds))
+    b = other.withColumn("b", range_bucket_col("v", bounds))
+    j = (a.join(b, "v").filter(a["b"] != b["b"]))
+    assert j.count() == 0
+
+
+def test_empty_bounds_single_bucket(spark, skewed_vals):
+    out = skewed_vals.withColumn("b", range_bucket_col("v", []))
+    assert out.agg(F.max("b")).collect()[0][0] == 0
