@@ -1552,6 +1552,20 @@ def q_bloom_semijoin_lineitem(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order transition matrix (sketchlib/transitions.py) over
+    the events stream: LAG window per user ordered by (ts, event_id)
+    — deterministic total order — then a |states|^2-group Tungsten
+    hash agg and one row-normalizing window. The transcript payload's
+    role/tool hand-off statistic posed on the driver's events table."""
+    from sketchlib.transitions import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return (transition_counts(ev, "user_id", ["ts", "event_id"],
+                              "event_type")
+            .orderBy("prev_state", "state"))
+
+
 def q_range_buckets_price(spark, sf_dir):
     """Sketch-driven equi-depth range partitioning
     (sketchlib/partitioning.py): KLL bounds in the exact regime
@@ -1888,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "skew_join_priority": q_skew_join_priority,
         "range_buckets_price": q_range_buckets_price,
+        "event_transitions": q_event_transitions,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2346,6 +2361,19 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "event_transitions": ("""
+WITH lagged AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_state,
+         event_type AS state
+  FROM events),
+c AS (SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM lagged WHERE prev_state IS NOT NULL
+      GROUP BY prev_state, state)
+SELECT prev_state, state, n_transitions,
+       n_transitions / SUM(n_transitions)
+         OVER (PARTITION BY prev_state) AS prob
+FROM c ORDER BY prev_state, state"""),
         "range_buckets_price": ("""
 WITH s AS (SELECT l_extendedprice AS v,
                   row_number() OVER (ORDER BY l_extendedprice) AS rn,

@@ -1,0 +1,48 @@
+"""Transition analytics (sketchlib/transitions.py).
+
+Gates: bigram counts equal a driver-side recount on synthetic
+transcripts (order via (conv_id, turn_idx)); start-state mode keeps
+one '^'-row per key; probabilities row-normalize to 1.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.synth import transcripts
+from sketchlib.transitions import transition_counts
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return transcripts(spark, 300, seed=11, partitions=8).cache()
+
+
+def test_counts_match_pandas(spark, tdf):
+    got = (transition_counts(tdf, "conv_id", ["turn_idx"], "role",
+                             with_prob=False)
+           .toPandas().set_index(["prev_state", "state"])["n_transitions"]
+           .sort_index())
+    pdf = tdf.toPandas().sort_values(["conv_id", "turn_idx"])
+    pdf["prev"] = pdf.groupby("conv_id")["role"].shift(1)
+    want = (pdf.dropna(subset=["prev"])
+            .groupby(["prev", "role"]).size().sort_index())
+    assert got.to_numpy().tolist() == want.to_numpy().tolist()
+    assert list(got.index) == list(want.index)
+
+
+def test_start_state_rows(spark, tdf):
+    got = transition_counts(tdf, "conv_id", ["turn_idx"], "role",
+                            drop_first=False, with_prob=False)
+    n_keys = tdf.select("conv_id").distinct().count()
+    start_total = (got.filter(F.col("prev_state") == "^")
+                   .agg(F.sum("n_transitions")).collect()[0][0])
+    assert start_total == n_keys
+    assert got.agg(F.sum("n_transitions")).collect()[0][0] == tdf.count()
+
+
+def test_probs_row_normalize(spark, tdf):
+    got = (transition_counts(tdf, "conv_id", ["turn_idx"], "role")
+           .groupBy("prev_state").agg(F.sum("prob").alias("s"))
+           .toPandas())
+    assert np.allclose(got["s"].to_numpy(), 1.0)
