@@ -189,3 +189,39 @@ def test_cm_drift_probe_has_no_join_between_snapshots(spark):
     # the probe's only exchanges: union-distinct agg + final sort
     import re
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:400]
+
+
+def test_skew_split_join_hot_side_broadcasts(spark):
+    """The hot side must plan an explicit BroadcastHashJoin even with
+    auto-broadcast off; the union's cold side keeps a non-broadcast
+    join (the split would be pointless if everything broadcast)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(E.queries()["skew_join_priority"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_range_buckets_stays_jvm_side(spark):
+    """Bucket assignment is chained codegen comparisons — no Python
+    eval node, no join anywhere in the counting plan."""
+    plan = _plan(E.queries()["range_buckets_price"](spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_event_transitions_single_key_exchange_before_window(spark):
+    """The per-key LAG window consumes exactly one hashpartitioning
+    exchange on the sequence key; the bigram agg partials before its
+    exchange (map-side combine)."""
+    import re
+    plan = _plan(E.queries()["event_transitions"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    key_ex = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(key_ex) == 1
+    m = re.search(r"\((\d+)\) HashAggregate[^(]*partial_count", plan)
+    assert m is not None
