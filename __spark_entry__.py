@@ -1552,6 +1552,22 @@ def q_bloom_semijoin_lineitem(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def q_cm_decayed_user_freq(spark, sf_dir):
+    """Forward-decay weighted CM (sketchlib/decay.py, Cormode et al.
+    ICDE'09 model with piecewise-halving integer weights): per-user
+    recency-weighted event counts, scaled by 2^8 so every weight and
+    sum is integral — exact in any engine and summation order, which
+    is what lets this be strict-gated rather than tolerance-banded.
+    Collision-free CM width => estimate == exact weighted sum."""
+    from sketchlib.decay import decayed_frequency
+
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=True)
+    return (decayed_frequency(spark, ev, "user_id", "ts",
+                              7 * 86400, cfg)
+            .orderBy("key"))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order transition matrix (sketchlib/transitions.py) over
     the events stream: LAG window per user ordered by (ts, event_id)
@@ -1903,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_priority": q_skew_join_priority,
         "range_buckets_price": q_range_buckets_price,
         "event_transitions": q_event_transitions,
+        "cm_decayed_user_freq": q_cm_decayed_user_freq,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2361,6 +2378,14 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "cm_decayed_user_freq": ("""
+WITH lm AS (SELECT MAX(ts) AS m FROM events)
+SELECT user_id AS key,
+       CAST(SUM(CAST(pow(2, 8 - LEAST(8, GREATEST(0,
+              CAST(floor(date_diff('second', ts, (SELECT m FROM lm))
+                         / 604800.0) AS INTEGER))))
+                AS BIGINT)) AS BIGINT) AS decayed_count_scaled
+FROM events GROUP BY user_id ORDER BY key"""),
         "event_transitions": ("""
 WITH lagged AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id

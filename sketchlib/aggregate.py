@@ -60,7 +60,8 @@ def _fold_blob_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
                  tree_width: int = 8, as_u64: bool = True,
                  pre_aggregate: bool = False,
-                 kernel_partitions: int | None = None):
+                 kernel_partitions: int | None = None,
+                 weight_col: str | None = None):
     """Build one merged sketch over ``df[col]``.
 
     ``factory`` must be a picklable zero-arg callable returning a fresh
@@ -76,17 +77,31 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
     the sketch to implement ``update_weighted`` (CountMin /
     OfflineCountMin do; HLL/Bloom don't need it — duplicates are
     idempotent for them, so plain dedup would do instead).
+
+    ``weight_col`` (pre_aggregate only) makes the build WEIGHTED:
+    per-key weight = ``SUM(weight_col)`` instead of ``COUNT(*)`` —
+    still one Tungsten hash agg, still |distinct| Python rows. This is
+    the hook for time-decayed frequency (sketchlib/decay.py) and any
+    other per-row-weighted statistic; weights must be integral (CM
+    counters are int64).
     """
     from pyspark.sql import functions as F
 
+    if weight_col is not None and not pre_aggregate:
+        raise ValueError("weight_col requires pre_aggregate=True")
     if pre_aggregate:
         # kernel parallelism follows the cluster, not the merge fan-in:
         # at 10^9 distinct keys the weighted-update kernel is the
         # heavy stage and must use every core; the blob fold below
         # then reduces the partial count to ``tree_width`` before the
         # driver sees anything (bounded driver fan-in at any scale)
-        grouped = (df.select(col).groupBy(col)
-                   .agg(F.count("*").alias("__cnt")))
+        if weight_col is None:
+            grouped = (df.select(col).groupBy(col)
+                       .agg(F.count("*").alias("__cnt")))
+        else:
+            grouped = (df.select(col, weight_col).groupBy(col)
+                       .agg(F.sum(weight_col).cast("long")
+                            .alias("__cnt")))
         if kernel_partitions is not None:
             grouped = grouped.repartition(kernel_partitions)
 

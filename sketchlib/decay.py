@@ -1,0 +1,90 @@
+"""Time-decayed frequency sketches (forward/backward decay over CM).
+
+Recency-weighted heavy hitters — "what is hot NOW" — per Cormode,
+Shkapenyuk, Srivastava, Xu, "Forward Decay: A Practical Time Decay
+Model for Streaming Systems" (ICDE'09): each row carries a weight
+``g(age)`` and every frequency statistic becomes a weighted sum, which
+the library's CM kernels already support (``update_weighted``).
+
+The decay function here is piecewise-constant halving — weight
+``2^(max_buckets - min(age_bucket, max_buckets))`` with ``age_bucket =
+floor(age / half_life)`` — chosen for three properties:
+
+1. **Integer weights.** CM counters stay int64, estimates stay exact
+   integers (scaled by ``2^max_buckets``), and the weighted sums are
+   EXACT in any engine and any summation order — no float-accumulation
+   drift, so the driver gate can be strict equality rather than a
+   tolerance band.
+2. **Merge-safe.** The weight is a pure function of (row ts, landmark)
+   — independent of processing order or partitioning — so partial
+   sketches merge associatively exactly like unweighted CM (the
+   forward-decay paper's core trick: weights fixed at ingest relative
+   to a landmark, not re-scaled per query).
+3. **JVM-side pre-aggregation.** ``SUM(weight)`` per key is a Tungsten
+   hash agg (map-side combined); Python sees |distinct keys| weighted
+   rows, exactly the flagship build's scale shape.
+
+Halving per ``half_life`` approximates exponential decay
+``exp(-ln2 * age / half_life)`` within a factor of 2 (exact at bucket
+boundaries); ages beyond ``max_buckets`` half-lives saturate at the
+minimum weight 1 instead of decaying to 0, keeping the sketch a
+superset of the unweighted one (nothing silently vanishes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from sketchlib.aggregate import build_sketch
+from sketchlib.sketches.cm import CMConfig, CountMin
+
+__all__ = ["decay_weight_col", "decayed_frequency"]
+
+
+def decay_weight_col(ts_col: str, landmark, half_life_s: int,
+                     max_buckets: int = 8) -> Column:
+    """Integer decay weight ``2^max_buckets >> age_bucket`` with
+    ``age_bucket = floor((landmark - ts)/half_life_s)`` clamped to
+    [0, max_buckets]. Rows newer than the landmark clamp to bucket 0
+    (full weight), ancient rows to weight 1."""
+    age_s = F.unix_timestamp(F.lit(landmark)) - F.unix_timestamp(
+        F.col(ts_col))
+    bucket = F.greatest(F.lit(0), F.least(
+        F.lit(max_buckets),
+        F.floor(age_s / F.lit(int(half_life_s))).cast("int")))
+    # 2^(max_buckets - bucket): pow over small ints is exact in double,
+    # the long cast keeps the weight integral (F.shiftright needs a
+    # literal bit count, so it can't take the bucket column)
+    return F.pow(F.lit(2.0), F.lit(max_buckets) - bucket).cast("long")
+
+
+def decayed_frequency(spark: SparkSession, df: DataFrame, key_col: str,
+                      ts_col: str, half_life_s: int,
+                      cfg: CMConfig, landmark=None,
+                      max_buckets: int = 8) -> DataFrame:
+    """Distinct keys annotated with their CM-estimated decayed count
+    ``decayed_count_scaled`` (scaled by ``2^max_buckets`` — divide by
+    it for the 0..1-weighted value; keep it integral for strict
+    gating).
+
+    One JVM scan computes per-key ``SUM(weight)``; the CM build
+    consumes the weighted key table (``update_weighted``), the probe
+    is the standard broadcast-blob annotate. ``landmark`` defaults to
+    ``MAX(ts)`` (one cheap agg — at 10^12 rows use a known watermark
+    instead of scanning for it)."""
+    from sketchlib.queries import _estimate_col
+
+    if landmark is None:
+        landmark = df.agg(F.max(ts_col)).collect()[0][0]
+    w = decay_weight_col(ts_col, landmark, half_life_s, max_buckets)
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"),
+                       w.alias("__w"))
+    sk = build_sketch(hashed, "kh", partial(CountMin, cfg),
+                      pre_aggregate=True, weight_col="__w")
+    probe = hashed.select("key", "kh").distinct()
+    return (_estimate_col(spark, sk, probe, "kh",
+                          out_col="decayed_count_scaled")
+            .select("key", "decayed_count_scaled"))

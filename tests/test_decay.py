@@ -1,0 +1,101 @@
+"""Time-decayed frequency (sketchlib/decay.py).
+
+Gates: integer halving weights match a pandas recount exactly at
+collision-free width; merge/partitioning invariance; clamping at both
+ends; the weighted build path (aggregate.build_sketch weight_col)
+equals a driver-side weighted CM.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.decay import decayed_frequency, decay_weight_col
+from sketchlib.sketches.cm import CMConfig, CountMin
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    base = dt.datetime(2026, 3, 1, 0, 0, 0)
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(4000):
+        key = f"k{int(rng.integers(0, 50)):02d}"
+        age_h = int(rng.integers(0, 24 * 40))  # up to 40 days old
+        rows.append((key, base - dt.timedelta(hours=age_h)))
+    return spark.createDataFrame(rows, "key string, ts timestamp").cache()
+
+
+def exact_decayed(pdf: pd.DataFrame, landmark, half_life_s, max_buckets=8):
+    age = (landmark - pdf["ts"]).dt.total_seconds()
+    bucket = np.clip(np.floor(age / half_life_s).astype(int),
+                     0, max_buckets)
+    w = np.right_shift(1 << max_buckets, bucket.to_numpy())
+    return pd.Series(w).groupby(pdf["key"]).sum()
+
+
+def test_decayed_matches_exact_recount(spark, ev):
+    hl = 7 * 86400
+    got = (decayed_frequency(spark, ev, "key", "ts", hl,
+                             CMConfig(16, 5, 137, True))
+           .toPandas().set_index("key")["decayed_count_scaled"]
+           .sort_index())
+    pdf = ev.toPandas()
+    landmark = pdf["ts"].max()
+    want = exact_decayed(pdf, landmark, hl).sort_index()
+    assert got.to_numpy().tolist() == want.to_numpy().tolist()
+
+
+def test_partitioning_invariant(spark, ev):
+    hl = 7 * 86400
+    a = (decayed_frequency(spark, ev.repartition(1), "key", "ts", hl,
+                           CMConfig(16, 5, 137, True)).toPandas()
+         .sort_values("key").reset_index(drop=True))
+    b = (decayed_frequency(spark, ev.repartition(17), "key", "ts", hl,
+                           CMConfig(16, 5, 137, True)).toPandas()
+         .sort_values("key").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_weight_clamps(spark):
+    base = dt.datetime(2026, 3, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(days=1),),   # future => bucket 0
+         (base,),                          # fresh => 256
+         (base - dt.timedelta(days=365),)  # ancient => 1
+         ], "ts timestamp")
+    got = [r[0] for r in
+           df.select(decay_weight_col("ts", base, 7 * 86400)).collect()]
+    assert got == [256, 256, 1]
+
+
+def test_weighted_build_equals_driver_weighted_cm(spark, ev):
+    from functools import partial
+
+    from sketchlib.aggregate import build_sketch
+    cfg = CMConfig(12, 5, 137, True)
+    hashed = ev.select(F.xxhash64("key").alias("kh"),
+                       F.lit(3).alias("w"))
+    sk = build_sketch(hashed, "kh", partial(CountMin, cfg),
+                      pre_aggregate=True, weight_col="w")
+    pdf = hashed.toPandas()
+    ref = CountMin(cfg)
+    g = pdf.groupby("kh")["w"].sum()
+    ref.update_weighted(g.index.to_numpy().astype(np.uint64),
+                        g.to_numpy().astype(np.int64))
+    ks = g.index.to_numpy().astype(np.uint64)
+    assert np.array_equal(sk.estimate(ks), ref.estimate(ks))
+
+
+def test_weight_col_requires_pre_aggregate(spark, ev):
+    from functools import partial
+
+    from sketchlib.aggregate import build_sketch
+    with pytest.raises(ValueError):
+        build_sketch(ev.select(F.xxhash64("key").alias("kh"),
+                               F.lit(1).alias("w")),
+                     "kh", partial(CountMin, CMConfig(8, 3, 1, True)),
+                     weight_col="w")
