@@ -1568,6 +1568,20 @@ def q_cm_decayed_user_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def q_decayed_top_users(spark, sf_dir):
+    """Recency-weighted heavy hitters (sketchlib/decay.py
+    decayed_top_k): top-10 users by forward-decayed event weight
+    through a WEIGHTED Misra-Gries summary — one bounded-memory pass.
+    Exact regime (summary_k >= |distinct|, no trim) + integral decay
+    weights => strict window-rank oracle, (weight desc, key)
+    tie-break."""
+    from sketchlib.decay import decayed_top_k
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_top_k(spark, ev, "user_id", "ts", 7 * 86400,
+                         k=10, summary_k=1 << 14)
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order transition matrix (sketchlib/transitions.py) over
     the events stream: LAG window per user ordered by (ts, event_id)
@@ -1920,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_buckets_price": q_range_buckets_price,
         "event_transitions": q_event_transitions,
         "cm_decayed_user_freq": q_cm_decayed_user_freq,
+        "decayed_top_users": q_decayed_top_users,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2378,6 +2393,21 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "decayed_top_users": ("""
+WITH lm AS (SELECT MAX(ts) AS m FROM events),
+dc AS (SELECT user_id AS key,
+              CAST(SUM(CAST(pow(2, 8 - LEAST(8, GREATEST(0,
+                     CAST(floor(date_diff('second', ts,
+                                          (SELECT m FROM lm))
+                                / 604800.0) AS INTEGER))))
+                       AS BIGINT)) AS BIGINT) AS decayed_count_scaled
+       FROM events GROUP BY user_id),
+rk AS (SELECT key, decayed_count_scaled,
+              ROW_NUMBER() OVER (ORDER BY decayed_count_scaled DESC,
+                                 key) AS rk
+       FROM dc)
+SELECT key, decayed_count_scaled, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 10 ORDER BY rk"""),
         "cm_decayed_user_freq": ("""
 WITH lm AS (SELECT MAX(ts) AS m FROM events)
 SELECT user_id AS key,

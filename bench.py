@@ -81,7 +81,7 @@ def main() -> int:
                  "heavy_hitter_events_hk", "mg_top_tokens_per_lang",
                  "cm_intersect_user_freq",
                  "cm_drift_user_freq", "kll_ks_drift_langs", "psi_value_drift",
-                 "cm_decayed_user_freq",
+                 "cm_decayed_user_freq", "decayed_top_users",
                  "cbf_user_freq", "cml_user_freq", "cs4w_user_freq",
                  "cmm_user_freq",
                  "wmh_weighted_jaccard_langs", "filterhll_repeated_shingles",

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from sketchlib.aggregate import build_sketch
 from sketchlib.sketches.cm import CMConfig, CountMin
 
-__all__ = ["decay_weight_col", "decayed_frequency"]
+__all__ = ["decay_weight_col", "decayed_frequency", "decayed_top_k"]
 
 
 def decay_weight_col(ts_col: str, landmark, half_life_s: int,
@@ -88,3 +88,50 @@ def decayed_frequency(spark: SparkSession, df: DataFrame, key_col: str,
     return (_estimate_col(spark, sk, probe, "kh",
                           out_col="decayed_count_scaled")
             .select("key", "decayed_count_scaled"))
+
+
+def decayed_top_k(spark: SparkSession, df: DataFrame, key_col: str,
+                  ts_col: str, half_life_s: int, k: int = 10,
+                  summary_k: int = 4096, landmark=None,
+                  max_buckets: int = 8) -> DataFrame:
+    """"What is hot NOW": top-``k`` keys by decayed weight through a
+    weighted Misra-Gries summary — one pre-aggregated pass, bounded
+    ``summary_k``-counter state, merge-tree-independent (the MG bound
+    now reads ``true - W/(summary_k+1) <= est <= true`` with W the
+    total absorbed decayed weight). Exact regime (``summary_k >=
+    |distinct|`` — no trim fires) is the strict-gate posture; output
+    is (key, decayed_count_scaled, rk) with (weight desc, key)
+    tie-break."""
+    from pyspark.sql import Window
+
+    from sketchlib.sketches.mg import MisraGries
+
+    if landmark is None:
+        landmark = df.agg(F.max(ts_col)).collect()[0][0]
+    w = decay_weight_col(ts_col, landmark, half_life_s, max_buckets)
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"),
+                       w.alias("__w"))
+    mg = build_sketch(hashed, "kh", partial(MisraGries, summary_k),
+                      pre_aggregate=True, weight_col="__w")
+    vals, counts = mg.items()
+    import numpy as np
+
+    # candidate set = every item tied with or above the k-th count, so
+    # the (count desc, key) tie-break below sees ALL contenders — a
+    # count-only truncation could drop a tied key the oracle keeps
+    if counts.size > k:
+        kth = np.sort(counts)[::-1][k - 1]
+        keep = np.nonzero(counts >= kth)[0]
+    else:
+        keep = np.arange(counts.size)
+    pairs = spark.createDataFrame(
+        [(int(np.int64(vals[i])), int(counts[i])) for i in keep],
+        "kh long, decayed_count_scaled long")
+    keys = hashed.select("key", "kh").distinct()
+    win = Window.orderBy(F.col("decayed_count_scaled").desc(), "key")
+    return (keys.join(F.broadcast(pairs), "kh")
+            .withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= k)
+            .select("key", "decayed_count_scaled", "rk")
+            .orderBy("rk"))

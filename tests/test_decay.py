@@ -99,3 +99,18 @@ def test_weight_col_requires_pre_aggregate(spark, ev):
                                F.lit(1).alias("w")),
                      "kh", partial(CountMin, CMConfig(8, 3, 1, True)),
                      weight_col="w")
+
+
+def test_decayed_top_k_exact_regime(spark, ev):
+    from sketchlib.decay import decayed_top_k
+    hl = 7 * 86400
+    got = decayed_top_k(spark, ev, "key", "ts", hl, k=10,
+                        summary_k=1 << 12).toPandas()
+    pdf = ev.toPandas()
+    want = (exact_decayed(pdf, pdf["ts"].max(), hl)
+            .rename("w").reset_index()
+            .sort_values(["w", "key"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["decayed_count_scaled"].tolist() == want["w"].tolist()
+    assert got["rk"].tolist() == list(range(1, 11))
