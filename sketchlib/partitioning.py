@@ -34,7 +34,8 @@ from sketchlib.aggregate import build_sketch
 from sketchlib.sketches.kll import KLL
 
 __all__ = ["kll_range_bounds", "range_bucket_col",
-           "repartition_by_sketch_ranges"]
+           "repartition_by_sketch_ranges", "write_range_partitioned",
+           "range_pruned_read"]
 
 
 def kll_range_bounds(df: DataFrame, col: str, n_buckets: int,
@@ -80,3 +81,44 @@ def repartition_by_sketch_ranges(df: DataFrame, col: str,
     out = df.withColumn(bucket_col, range_bucket_col(col, bounds))
     out = out.repartitionByRange(n_buckets, F.col(bucket_col))
     return out if keep_bucket else out.drop(bucket_col)
+
+
+def write_range_partitioned(df: DataFrame, path: str, col: str,
+                            n_buckets: int, k: int = 200,
+                            bounds: list[float] | None = None,
+                            bucket_col: str = "range_bucket") -> list[float]:
+    """Write ``df`` as parquet partitioned by the equi-depth range
+    bucket of ``col`` — the value-clustered layout in which a range
+    predicate on ``col`` becomes PARTITION PRUNING (directories never
+    opened) instead of a full scan. Equi-depth (not equi-width) bounds
+    mean the directories are balanced regardless of skew. Returns the
+    bounds so the SAME layout can be applied to sibling tables and so
+    readers can transfer predicates (:func:`range_pruned_read`).
+
+    At 100 TB this is the difference between "scan 100 TB and filter"
+    and "open 2 of 64 directories": layout decisions are the one
+    optimization Catalyst cannot make at read time."""
+    if bounds is None:
+        bounds = kll_range_bounds(df, col, n_buckets, k=k)
+    (df.withColumn(bucket_col, range_bucket_col(col, bounds))
+       .repartitionByRange(n_buckets, F.col(bucket_col))
+       .write.mode("overwrite").partitionBy(bucket_col).parquet(path))
+    return bounds
+
+
+def range_pruned_read(spark, path: str, col: str, bounds: list[float],
+                      lo: float, hi: float,
+                      bucket_col: str = "range_bucket") -> DataFrame:
+    """Read back a :func:`write_range_partitioned` table restricted to
+    ``lo <= col <= hi`` with the predicate TRANSFERRED to the bucket
+    key: only the bucket directories whose value range intersects
+    [lo, hi] are listed/opened (PartitionFilters in the scan plan —
+    tests/test_partitioning.py pins it), then the exact residual
+    filter runs on the survivors. Row-identical to filtering the
+    unpartitioned table."""
+    b_lo = sum(1 for b in bounds if b < lo)   # bucket containing lo
+    b_hi = sum(1 for b in bounds if b < hi)   # bucket containing hi
+    return (spark.read.parquet(path)
+            .filter((F.col(bucket_col) >= b_lo) &
+                    (F.col(bucket_col) <= b_hi))
+            .filter((F.col(col) >= lo) & (F.col(col) <= hi)))

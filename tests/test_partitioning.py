@@ -81,3 +81,36 @@ def test_shared_bounds_copartition_two_tables(spark, skewed_vals):
 def test_empty_bounds_single_bucket(spark, skewed_vals):
     out = skewed_vals.withColumn("b", range_bucket_col("v", []))
     assert out.agg(F.max("b")).collect()[0][0] == 0
+
+
+def test_range_partitioned_write_prunes_and_matches(spark, skewed_vals,
+                                                    tmp_path_factory):
+    from sketchlib.partitioning import (range_pruned_read,
+                                        write_range_partitioned)
+    path = str(tmp_path_factory.mktemp("rp") / "tbl")
+    bounds = write_range_partitioned(skewed_vals, path, "v", 8, k=30_000)
+    lo, hi = float(bounds[2]), float(bounds[4])
+
+    got = range_pruned_read(spark, path, "v", bounds, lo, hi)
+    want = skewed_vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+    assert got.count() == want.count()
+    assert got.agg(F.sum("v")).collect()[0][0] == \
+        pytest.approx(want.agg(F.sum("v")).collect()[0][0])
+
+    # the bucket predicate must reach the scan as a partition filter
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:250]
+    assert "range_bucket" in pf and ">= 2" in pf and "<= 4" in pf
+    # all 8 directories exist, and the 3 qualifying ones hold exactly
+    # the rows the pruned read returns pre-residual
+    import glob
+    n_dirs = len(glob.glob(f"{path}/range_bucket=*"))
+    assert n_dirs == 8
+    direct = spark.read.parquet(*[f"{path}/range_bucket={b}"
+                                  for b in (2, 3, 4)])
+    bucketed_only = (spark.read.parquet(path)
+                     .filter((F.col("range_bucket") >= 2) &
+                             (F.col("range_bucket") <= 4)))
+    assert direct.count() == bucketed_only.count()
