@@ -1618,6 +1618,25 @@ def q_range_buckets_price(spark, sf_dir):
             .orderBy("bucket"))
 
 
+def q_bloom_antijoin_lineitem(spark, sf_dir):
+    """Bloom-short-circuited ANTI join (sketchlib/joins.py
+    bloom_anti_join): lineitems of NON-'F' orders found as orphans vs
+    the 'F'-order key set. The Bloom dual: a filter NO is definite, so
+    most orphans bypass the join with zero shuffle; only maybes (true
+    members + fp) take the exact anti-join. Row-identical to the plain
+    anti-join — gate aggregates the full result."""
+    from sketchlib.joins import bloom_anti_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    got = bloom_anti_join(spark, li, "l_orderkey", dim, "o_orderkey",
+                          p=20)
+    return (got.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("l_quantity").alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
 def q_skew_join_priority(spark, sf_dir):
     """Skew-resistant split join (sketchlib/joins.py:skew_split_join):
     lineitem x orders where the keys the library's own Misra-Gries
@@ -1931,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_countsketch": q_join_size_countsketch,
         "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
         "skew_join_priority": q_skew_join_priority,
+        "bloom_antijoin_lineitem": q_bloom_antijoin_lineitem,
         "range_buckets_price": q_range_buckets_price,
         "event_transitions": q_event_transitions,
         "cm_decayed_user_freq": q_cm_decayed_user_freq,
@@ -2442,6 +2462,13 @@ FROM (SELECT CAST((SELECT COUNT(*) FROM bounds WHERE t.v > b) AS BIGINT)
                AS bucket
       FROM (SELECT l_extendedprice AS v FROM lineitem) t)
 GROUP BY bucket ORDER BY bucket"""),
+        "bloom_antijoin_lineitem": ("""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag ORDER BY l_returnflag"""),
         "skew_join_priority": ("""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
        SUM(l_quantity) AS sum_qty

@@ -110,6 +110,7 @@ def main() -> int:
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",
                  "join_size_countsketch", "bloom_semijoin_lineitem",
+                 "bloom_antijoin_lineitem",
                  "skew_join_priority", "range_buckets_price",
                  "event_transitions",
                  "asof_join_error_click", "hll_rollup_docs",

@@ -38,8 +38,8 @@ from pyspark.sql import functions as F
 from sketchlib.aggregate import build_sketch
 from sketchlib.queries import _cached_sketch
 
-__all__ = ["join_size_estimate", "bloom_semi_join", "asof_join",
-           "range_join", "skew_split_join"]
+__all__ = ["join_size_estimate", "bloom_semi_join", "bloom_anti_join",
+           "asof_join", "range_join", "skew_split_join"]
 
 
 def join_size_estimate(df_a: DataFrame, col_a: str,
@@ -305,3 +305,50 @@ def skew_split_join(fact: DataFrame, dim: DataFrame,
                                      fact_cold[fact_key] == dim_cold[dim_key],
                                      how)
     return joined_hot.unionByName(joined_cold)
+
+
+def bloom_anti_join(spark: SparkSession, fact: DataFrame, fact_key: str,
+                    dim: DataFrame, dim_key: str,
+                    p: int = 24, nh: int = 4,
+                    seed: int = 137) -> DataFrame:
+    """``fact LEFT ANTI JOIN dim`` (orphan detection: fact rows whose
+    key has no dim match) with a broadcast-Bloom short-circuit.
+
+    The Bloom dual that makes anti-join cheap: a Bloom NO is definite
+    (no false negatives), so every fact row the filter rejects is a
+    GUARANTEED orphan and bypasses the join entirely — zero shuffle
+    for the bulk of a mostly-orphan stream. Only the "maybe member"
+    rows (true matches + fp·orphans) take the exact anti-join, which
+    removes the false-positive maybes. Output is row-identical to the
+    plain anti-join; exchanged volume drops from |fact| to
+    matches + fp·orphans.
+
+    NULL fact keys: xxhash64(NULL) probes as a constant; plain
+    LEFT ANTI keeps null-keyed rows (null never equals a dim key), and
+    both paths here preserve that — the definite-orphan branch keeps
+    the row unless the constant happens to hit the filter, in which
+    case the exact anti-join keeps it."""
+    import uuid
+
+    from sketchlib.sketches.bloom import BloomFilter
+
+    bf = build_sketch(dim.select(F.xxhash64(dim_key).alias("kh")), "kh",
+                      partial(BloomFilter, p, nh, seed))
+    blob = bf.to_bytes()
+    b = spark.sparkContext.broadcast(blob)
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf("boolean")
+    def maybe_member(v: pd.Series) -> pd.Series:
+        sk = _cached_sketch(cache_key, b.value)
+        vals = v.to_numpy()
+        vals = vals.view(np.uint64) if vals.dtype == np.int64 \
+            else vals.astype(np.uint64)
+        return pd.Series(sk.contains(vals))
+
+    flagged = fact.withColumn("__maybe", maybe_member(F.xxhash64(fact_key)))
+    definite = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    maybes = (flagged.filter(F.col("__maybe")).drop("__maybe")
+              .join(dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+                    on=fact_key, how="left_anti"))
+    return definite.unionByName(maybes)

@@ -259,3 +259,44 @@ def test_skew_split_join_rejects_outer(spark, skewed_sides):
     fact, dim = skewed_sides
     with pytest.raises(ValueError):
         skew_split_join(fact, dim, "k", how="left")
+
+
+# ---- bloom_anti_join ----------------------------------------------------
+
+def test_bloom_anti_join_row_identical(spark, sides):
+    from sketchlib.joins import bloom_anti_join
+    a, b = sides
+    # keys 40..59 exist only in b; keys in a are 0..39 (all matched) —
+    # augment a with orphan keys 100..119 so the anti result is non-empty
+    a2 = a.unionByName(
+        spark.createDataFrame([(100 + i % 20, "o") for i in range(200)],
+                              "k long, pa string"))
+    plain = a2.join(b, "k", "left_anti")
+    got = bloom_anti_join(spark, a2, "k", b, "k", p=18)
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+
+
+def test_bloom_anti_join_tiny_filter_fp_regime(spark, sides):
+    """At p=6 the filter is saturated with false positives; the exact
+    anti-join on the maybes must still make the result row-identical."""
+    from sketchlib.joins import bloom_anti_join
+    a, b = sides
+    a2 = a.unionByName(
+        spark.createDataFrame([(500 + i, "o") for i in range(50)],
+                              "k long, pa string"))
+    plain = a2.join(b, "k", "left_anti")
+    got = bloom_anti_join(spark, a2, "k", b, "k", p=6, nh=2)
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+
+
+def test_bloom_anti_join_null_keys_kept(spark, sides):
+    from sketchlib.joins import bloom_anti_join
+    _, b = sides
+    a = spark.createDataFrame([(None, "n"), (7, "m"), (999, "o")],
+                              "k long, pa string")
+    plain = a.join(b, "k", "left_anti")
+    got = bloom_anti_join(spark, a, "k", b, "k", p=18)
+    assert sorted(r["pa"] for r in got.collect()) == \
+        sorted(r["pa"] for r in plain.collect())
