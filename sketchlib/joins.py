@@ -229,15 +229,21 @@ def hot_keys(df: DataFrame, key_col: str, top_k: int = 32,
     arbitrary merge trees — any key with frequency share above
     ``1/(summary_k+1)`` is guaranteed present.
 
-    ``key_col`` must be integral (the caller hashes strings with
-    ``F.xxhash64`` and maps back via join if needed); counts are the
-    MG lower bounds, ordering by them finds every key whose true share
-    exceeds ``top_k/(summary_k+1)``-ish mass — exactly the broadcast-
-    worthy regime."""
+    Integral keys ride the summary directly; any other type (string
+    conv_id — the north rule's skewed key) is detected in xxhash64
+    space and the handful of hot hashes are resolved back to values
+    with one narrow pushed-down filter scan (no shuffle beyond a
+    |hot|-row distinct). Counts are the MG lower bounds; ordering by
+    them finds every key whose true share exceeds
+    ``top_k/(summary_k+1)``-ish mass — exactly the broadcast-worthy
+    regime."""
     from sketchlib.sketches.mg import MisraGries
 
-    mg = build_sketch(df.select(F.col(key_col).cast("long").alias("kh")),
-                      "kh", partial(MisraGries, summary_k),
+    integral = dict(df.dtypes)[key_col] in (
+        "tinyint", "smallint", "int", "bigint")
+    src = (df.select(F.col(key_col).cast("long").alias("kh")) if integral
+           else df.select(F.xxhash64(key_col).alias("kh")))
+    mg = build_sketch(src, "kh", partial(MisraGries, summary_k),
                       pre_aggregate=True)
     vals, counts = mg.items()
     vals = vals.view(np.int64)
@@ -245,6 +251,14 @@ def hot_keys(df: DataFrame, key_col: str, top_k: int = 32,
     pairs = [(int(vals[i]), int(counts[i])) for i in order]
     if min_count is not None:
         pairs = [(v, c) for v, c in pairs if c >= min_count]
+    if not integral and pairs:
+        cmap = dict(pairs)
+        rows = (df.filter(F.xxhash64(key_col).isin(list(cmap)))
+                .select(F.col(key_col).alias("k"),
+                        F.xxhash64(key_col).alias("kh"))
+                .distinct().collect())
+        pairs = sorted(((r["k"], cmap[r["kh"]]) for r in rows),
+                       key=lambda t: (-t[1], str(t[0])))[:top_k]
     return pairs
 
 
@@ -284,12 +298,10 @@ def skew_split_join(fact: DataFrame, dim: DataFrame,
     if not hot:
         return fact.join(dim, fact[fact_key] == dim[dim_key], how)
 
-    hot_arr = F.array(*[F.lit(v).cast("long") for v in hot])
-    is_hot = F.array_contains(hot_arr, F.col(fact_key).cast("long"))
-
+    is_hot = F.col(fact_key).isin(hot)   # works for any key type
     fact_hot = fact.filter(is_hot)
     fact_cold = fact.filter(~is_hot)  # null keys drop: no-op for inner/semi
-    dim_is_hot = F.array_contains(hot_arr, F.col(dim_key).cast("long"))
+    dim_is_hot = F.col(dim_key).isin(hot)
     dim_hot = dim.filter(dim_is_hot)
     dim_cold = dim.filter(~dim_is_hot)
 

@@ -300,3 +300,33 @@ def test_bloom_anti_join_null_keys_kept(spark, sides):
     got = bloom_anti_join(spark, a, "k", b, "k", p=18)
     assert sorted(r["pa"] for r in got.collect()) == \
         sorted(r["pa"] for r in plain.collect())
+
+
+def test_hot_keys_string_conv_id(spark):
+    """The north rule's skewed key is a STRING conv_id: detection runs
+    in xxhash64 space, hot hashes resolve back to values with one
+    pushed-down filter scan."""
+    from sketchlib.joins import hot_keys
+    rows = [("conv_hot", i) for i in range(2500)] + \
+           [(f"conv_{i % 80:03d}", i) for i in range(2500)]
+    df = spark.createDataFrame(rows, "conv_id string, x long")
+    pairs = hot_keys(df, "conv_id", top_k=3, summary_k=512)
+    assert pairs[0][0] == "conv_hot"
+    assert 2500 - 5000 // 513 <= pairs[0][1] <= 2500
+
+
+def test_skew_split_join_string_keys_row_identical(spark):
+    from sketchlib.joins import skew_split_join
+    rows = [("conv_hot", i) for i in range(2000)] + \
+           [(f"conv_{i % 50:03d}", i) for i in range(2000)]
+    fact = spark.createDataFrame(rows, "conv_id string, x long")
+    dim = spark.createDataFrame(
+        [("conv_hot", "H")] + [(f"conv_{i:03d}", f"d{i}")
+                               for i in range(60)],
+        "conv_id string, meta string")
+    plain = fact.join(dim, "conv_id").select("conv_id", "x", "meta")
+    split = (skew_split_join(fact, dim, "conv_id", top_k=4,
+                             summary_k=256)
+             .select("conv_id", "x", "meta"))
+    assert split.exceptAll(plain).count() == 0
+    assert plain.exceptAll(split).count() == 0
