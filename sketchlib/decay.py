@@ -116,6 +116,7 @@ def decayed_top_k(spark: SparkSession, df: DataFrame, key_col: str,
                       pre_aggregate=True, weight_col="__w")
     vals, counts = mg.items()
     import numpy as np
+    vals = vals.view(np.int64)  # reinterpret as Spark's signed xxhash64
 
     # candidate set = every item tied with or above the k-th count, so
     # the (count desc, key) tie-break below sees ALL contenders — a
@@ -126,7 +127,7 @@ def decayed_top_k(spark: SparkSession, df: DataFrame, key_col: str,
     else:
         keep = np.arange(counts.size)
     pairs = spark.createDataFrame(
-        [(int(np.int64(vals[i])), int(counts[i])) for i in keep],
+        [(int(vals[i]), int(counts[i])) for i in keep],
         "kh long, decayed_count_scaled long")
     keys = hashed.select("key", "kh").distinct()
     win = Window.orderBy(F.col("decayed_count_scaled").desc(), "key")
