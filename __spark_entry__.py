@@ -1582,6 +1582,24 @@ def q_decayed_top_users(spark, sf_dir):
                          k=10, summary_k=1 << 14)
 
 
+def q_decayed_sample_events(spark, sf_dir):
+    """Recency-weighted training-data sampling: Efraimidis-Spirakis
+    draw proportional to the forward-decay weight (sketchlib/decay.py
+    x sampling.py composition) — fresher events exponentially more
+    likely, weights integral so the rank arithmetic is engine-exact.
+    Same strict-gate argument as weighted_sample_orders (md5-derived
+    keys, k << n regime); plan is TakeOrderedAndProject."""
+    from sketchlib.decay import decay_weight_col
+    from sketchlib.sampling import weighted_sample
+
+    ev = _t(spark, sf_dir, "events")
+    landmark = ev.agg(F.max("ts")).collect()[0][0]
+    w = decay_weight_col("ts", landmark, 7 * 86400)
+    return (weighted_sample(ev.select("event_id", w.alias("w")),
+                            100, ["event_id"], "w", seed=11)
+            .orderBy("event_id"))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order transition matrix (sketchlib/transitions.py) over
     the events stream: LAG window per user ordered by (ts, event_id)
@@ -1955,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "cm_decayed_user_freq": q_cm_decayed_user_freq,
         "decayed_top_users": q_decayed_top_users,
+        "decayed_sample_events": q_decayed_sample_events,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2413,6 +2432,21 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "decayed_sample_events": ("""
+WITH lm AS (SELECT MAX(ts) AS m FROM events),
+base AS (
+  SELECT event_id,
+         CAST(pow(2, 8 - LEAST(8, GREATEST(0,
+              CAST(floor(date_diff('second', ts, (SELECT m FROM lm))
+                         / 604800.0) AS INTEGER)))) AS BIGINT) AS w
+  FROM events)
+SELECT event_id, w FROM (
+  SELECT event_id, w,
+         ln((CAST(concat('0x', substr(md5(concat_ws(chr(31), '11',
+                CAST(event_id AS VARCHAR))), 1, 13)) AS BIGINT) + 0.5)
+            / 4503599627370496.0) / w AS p
+  FROM base)
+ORDER BY p DESC, event_id LIMIT 100"""),
         "decayed_top_users": ("""
 WITH lm AS (SELECT MAX(ts) AS m FROM events),
 dc AS (SELECT user_id AS key,

@@ -109,6 +109,7 @@ def main() -> int:
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",
+                 "decayed_sample_events",
                  "join_size_countsketch", "bloom_semijoin_lineitem",
                  "bloom_antijoin_lineitem",
                  "skew_join_priority", "range_buckets_price",
