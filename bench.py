@@ -194,6 +194,14 @@ def main() -> int:
     assert throughput["cm_epsilon_bound_pass_rate"] >= \
         1.0 - math.e ** (-cfg.nh)
 
+    # payload-op leg: per-conversation stats over the same cached
+    # transcripts (one hash agg + distinct-tool layer, JVM-side)
+    from sketchlib.convstats import conversation_stats
+    t0 = time.time()
+    n_convs_out = conversation_stats(tdf).count()
+    timings["conv_stats_transcripts"] = round(time.time() - t0, 3)
+    assert n_convs_out == n_convs
+
     # distributed-path throughput (local_threshold=0 disables the
     # small-key-space driver-local shortcut so the number is the
     # per-pass distributed rate, comparable to the reference's)
