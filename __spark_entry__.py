@@ -1582,6 +1582,47 @@ def q_decayed_top_users(spark, sf_dir):
                          k=10, summary_k=1 << 14)
 
 
+def q_decayed_top_users_per_type(spark, sf_dir):
+    """GROUPED recency-weighted heavy hitters: per-event-type top-5
+    users by forward-decayed weight, through the salted grouped build
+    with the new weighted hook (build_grouped_sketches weight_col) —
+    one shuffle bounded by |distinct (type, user)|, MG summaries merged
+    across salt buckets, DISTRIBUTED finalize. Exact regime + integral
+    weights => strict window-rank oracle."""
+    from functools import partial as _p
+
+    from pyspark.sql import Window
+
+    from sketchlib.aggregate import build_grouped_sketches, finalize_grouped
+    from sketchlib.decay import decay_weight_col
+    from sketchlib.sketches.mg import MisraGries
+
+    ev = _t(spark, sf_dir, "events")
+    landmark = ev.agg(F.max("ts")).collect()[0][0]
+    w = decay_weight_col("ts", landmark, 7 * 86400)
+    src = ev.select("event_type", "user_id",
+                    F.xxhash64("user_id").alias("kh"), w.alias("__w"))
+    grouped = build_grouped_sketches(src, ["event_type"], "kh",
+                                     _p(MisraGries, 1 << 14),
+                                     salt_buckets=8, pre_aggregate=True,
+                                     weight_col="__w")
+    pairs = finalize_grouped(grouped, _mg_pairs, "pairs",
+                             "array<array<bigint>>")
+    flat = (pairs.select("event_type", F.explode("pairs").alias("p"))
+            .select("event_type", F.element_at("p", 1).alias("kh"),
+                    F.element_at("p", 2).alias("wsum")))
+    umap = src.select("kh", "user_id").distinct()
+    win = Window.partitionBy("event_type").orderBy(
+        F.col("wsum").desc(), "user_id")
+    return (flat.join(umap, "kh")
+            .withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 5)
+            .select("event_type", "user_id",
+                    F.col("wsum").cast("long").alias("decayed_count_scaled"),
+                    "rk")
+            .orderBy("event_type", "rk"))
+
+
 def q_decayed_sample_events(spark, sf_dir):
     """Recency-weighted training-data sampling: Efraimidis-Spirakis
     draw proportional to the forward-decay weight (sketchlib/decay.py
@@ -1974,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_decayed_user_freq": q_cm_decayed_user_freq,
         "decayed_top_users": q_decayed_top_users,
         "decayed_sample_events": q_decayed_sample_events,
+        "decayed_top_users_per_type": q_decayed_top_users_per_type,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2432,6 +2474,22 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "decayed_top_users_per_type": ("""
+WITH lm AS (SELECT MAX(ts) AS m FROM events),
+dc AS (SELECT event_type, user_id,
+              CAST(SUM(CAST(pow(2, 8 - LEAST(8, GREATEST(0,
+                     CAST(floor(date_diff('second', ts,
+                                          (SELECT m FROM lm))
+                                / 604800.0) AS INTEGER))))
+                       AS BIGINT)) AS BIGINT) AS w
+       FROM events GROUP BY 1, 2),
+rk AS (SELECT event_type, user_id, w,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY w DESC, user_id) AS rk
+       FROM dc)
+SELECT event_type, user_id, w AS decayed_count_scaled,
+       CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 5 ORDER BY event_type, rk"""),
         "decayed_sample_events": ("""
 WITH lm AS (SELECT MAX(ts) AS m FROM events),
 base AS (

@@ -164,7 +164,8 @@ def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
                            as_u64: bool = True,
                            salt_buckets: int | None = None,
                            pre_aggregate: bool = False,
-                           pre_distinct: bool = False) -> DataFrame:
+                           pre_distinct: bool = False,
+                           weight_col: str | None = None) -> DataFrame:
     """One sketch per key group: ``(key..., sketch binary)`` DataFrame.
 
     Uses applyInPandas (hash exchange on the keys planned by Catalyst);
@@ -194,7 +195,8 @@ def build_grouped_sketches(df: DataFrame, key_cols: list[str], col: str,
         df, key_cols, col, {"sketch": factory},
         as_u64=as_u64, salt_buckets=salt_buckets,
         pre_aggregate=pre_aggregate,
-        pre_distinct=pre_distinct).drop("name")
+        pre_distinct=pre_distinct,
+        weight_col=weight_col).drop("name")
 
 
 def finalize_grouped(grouped: DataFrame, finalize: Callable[[object], object],
@@ -228,7 +230,8 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
                                  as_u64: bool = True,
                                  salt_buckets: int | None = None,
                                  pre_aggregate: bool = False,
-                                 pre_distinct: bool = False
+                                 pre_distinct: bool = False,
+                                 weight_col: str | None = None
                                  ) -> DataFrame:
     """SEVERAL named sketches per key group in ONE scan:
     ``(key..., name string, sketch binary)`` DataFrame.
@@ -253,11 +256,18 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
     PCSA / Bloom), where a repeated value is a no-op by definition.
     Both are bit-exact vs the unreduced stream for order-independent
     sketches; pre-collapse happens BEFORE salting, so weighted rows
-    are never split across salt buckets."""
+    are never split across salt buckets.
+
+    ``weight_col`` (pre_aggregate only, mirroring :func:`build_sketch`)
+    makes the grouped build WEIGHTED: per-(key, value) weight =
+    ``SUM(weight_col)`` instead of ``COUNT(*)`` — the hook for grouped
+    time-decayed statistics; weights must be integral."""
     from pyspark.sql import functions as F
 
     if pre_aggregate and pre_distinct:
         raise ValueError("pre_aggregate and pre_distinct are exclusive")
+    if weight_col is not None and not pre_aggregate:
+        raise ValueError("weight_col requires pre_aggregate=True")
 
     names = sorted(factories)
     key_schema = ", ".join(
@@ -266,8 +276,13 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
     out_schema = f"{key_schema}, name string, sketch binary"
 
     if pre_aggregate:
-        df = (df.select(*key_cols, col).groupBy(*key_cols, col)
-              .agg(F.count("*").alias("__cnt")))
+        if weight_col is None:
+            df = (df.select(*key_cols, col).groupBy(*key_cols, col)
+                  .agg(F.count("*").alias("__cnt")))
+        else:
+            df = (df.select(*key_cols, col, weight_col)
+                  .groupBy(*key_cols, col)
+                  .agg(F.sum(weight_col).cast("long").alias("__cnt")))
     elif pre_distinct:
         df = df.select(*key_cols, col).distinct()
     else:

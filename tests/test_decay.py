@@ -114,3 +114,47 @@ def test_decayed_top_k_exact_regime(spark, ev):
     assert got["key"].tolist() == want["key"].tolist()
     assert got["decayed_count_scaled"].tolist() == want["w"].tolist()
     assert got["rk"].tolist() == list(range(1, 11))
+
+
+def test_grouped_weighted_build_matches_recount(spark, ev):
+    """weight_col through the salted grouped path: per-group MG in the
+    exact regime equals a pandas weighted recount."""
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.base import deserialize
+    from sketchlib.sketches.mg import MisraGries
+
+    grp = ev.withColumn("g", (F.xxhash64("key") % 3).cast("int"))
+    src = grp.select("g", F.xxhash64("key").alias("kh"),
+                     F.lit(5).alias("w"))
+    grouped = build_grouped_sketches(src, ["g"], "kh",
+                                     partial(MisraGries, 1 << 10),
+                                     salt_buckets=4, pre_aggregate=True,
+                                     weight_col="w").collect()
+    pdf = src.toPandas()
+    for row in grouped:
+        sk = deserialize(bytes(row["sketch"]))
+        import numpy as np
+        vals, counts = sk.items()
+        want = pdf[pdf["g"] == row["g"]].groupby("kh")["w"].sum()
+        got = dict(zip(vals.view(np.int64), counts))
+        assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_grouped_weight_col_requires_pre_aggregate(spark, ev):
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.aggregate import build_grouped_sketches
+    from sketchlib.sketches.mg import MisraGries
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        build_grouped_sketches(
+            ev.select(F.lit("g").alias("g"),
+                      F.xxhash64("key").alias("kh"),
+                      F.lit(1).alias("w")),
+            ["g"], "kh", partial(MisraGries, 8), weight_col="w")
