@@ -72,6 +72,14 @@ AUDITED = [
      "returned plan is the union-of-distinct-keys probe with BOTH "
      "snapshot blobs broadcast — two chained ArrowEvalPython column "
      "annotations, no join between snapshots"),
+    ("bloom_antijoin_lineitem",
+     "anti-join dual: Bloom-rejected rows are definite orphans and "
+     "bypass the join (zero shuffle for the bulk); only maybes take "
+     "the exact anti-join"),
+    ("decayed_top_users_per_type",
+     "grouped weighted build: JVM SUM(decay weight) per (type, user) "
+     "feeds salted MG partials; distributed finalize; the only "
+     "broadcast is the |hot|-row pair table join-back"),
     ("skew_join_priority",
      "skew-split join: MG-detected hot keys take an explicit "
      "BroadcastHashJoin (the skewed mass never shuffles) while the "
