@@ -183,3 +183,40 @@ def test_ddsketch_partition_invariant(cuts, order):
                        cuts, list(order))
     assert merged.count == whole.count and merged.mink == whole.mink
     assert (merged.bins == whole.bins).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_misra_gries_exact_regime_partition_invariant(cuts, order):
+    """k >= |distinct| => no trim ever fires => every count exact and
+    the merged summary is partition/order-invariant bit-exactly."""
+    from functools import partial
+
+    from sketchlib.sketches.mg import MisraGries
+    factory = partial(MisraGries, 4096)  # stream has <= 4000 distinct
+    seq = factory()
+    seq.update(_STREAM)
+    acc = _partials(factory, cuts, order)
+    assert np.array_equal(*(np.sort(s.values) for s in (acc, seq)))
+    sv, sc = seq.items()
+    av, ac = acc.items()
+    assert np.array_equal(sv, av) and np.array_equal(sc, ac)
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_misra_gries_bound_any_merge_tree(cuts, order):
+    """Trimming regime (k << distinct): for EVERY key,
+    true - n/(k+1) <= est <= true over arbitrary merge trees —
+    Agarwal et al. Mergeable Summaries Thm 1."""
+    from functools import partial
+
+    from sketchlib.sketches.mg import MisraGries
+    k = 64
+    factory = partial(MisraGries, k)
+    acc = _partials(factory, cuts, order)
+    keys, true_counts = np.unique(_STREAM, return_counts=True)
+    est = acc.estimate(keys)
+    slack = acc.n / (k + 1)
+    assert np.all(est <= true_counts)
+    assert np.all(est >= true_counts - slack)
