@@ -218,3 +218,48 @@ def test_streaming_window_drift_matches_batch_ks(spark, tmp_path):
         fa = np.searchsorted(xa, pts, side="right") / xa.size
         fb = np.searchsorted(xb, pts, side="right") / xb.size
         assert ks == pytest.approx(float(np.abs(fa - fb).max()), abs=0)
+
+
+def test_streaming_windowed_mg_top_k_matches_batch(spark, tmp_path):
+    """'Hot users per window' through the SAME windowed sink with a
+    Misra-Gries factory (the sink is sketch-agnostic): per-window
+    top-3 from the committed summaries equals the exact batch top-3
+    (exact regime: k >= per-window distinct, merge across micro-batch
+    replays exercised by the store's epoch keying)."""
+    from functools import partial
+
+    from sketchlib.sketches.mg import MisraGries
+
+    src = str(tmp_path / "mg_src")
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(4000)
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    store = WindowedSketchStore()
+    sink = windowed_sketch_sink(store, partial(MisraGries, 4096),
+                                key_col="user_id", ts_col="ts",
+                                window="1 hour")
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+             .agg(F.count("*").alias("n"))
+             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                      .alias("ws"),
+                     F.xxhash64("user_id").alias("kh"), "n")
+             .toPandas())
+    assert store.windows()
+    for ws in store.windows():
+        sk = store.sketch(ws)
+        vals, counts = sk.items()
+        sub = batch[batch["ws"] == ws].copy()
+        # items() tie-breaks equal counts by value ASC in UNSIGNED
+        # space — mirror that for the oracle sort
+        sub["khu"] = sub["kh"].to_numpy().astype("int64").view("uint64")
+        sub = sub.sort_values(["n", "khu"], ascending=[False, True])
+        want = [(int(v), int(c)) for v, c
+                in zip(sub["khu"].head(3), sub["n"].head(3))]
+        got = [(int(v), int(c)) for v, c in zip(vals[:3], counts[:3])]
+        assert got == want, ws
