@@ -1696,6 +1696,25 @@ def q_bloom_antijoin_lineitem(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def q_range_buckets_per_type(spark, sf_dir):
+    """PER-GROUP equi-depth partitioning grid
+    (sketchlib/partitioning.py grouped_range_bucket_counts): one KLL
+    per event_type through the salted grouped build (exact regime),
+    bounds finalized DISTRIBUTED as an array column, every row
+    bucketed against ITS group's bounds via a broadcast join. The gate
+    recounts per-group rank-quantile bounds and bucket membership in
+    SQL."""
+    from sketchlib.partitioning import grouped_range_bucket_counts
+
+    ev = _t(spark, sf_dir, "events")
+    n_max = ev.groupBy("event_type").count() \
+              .agg(F.max("count")).collect()[0][0]
+    return (grouped_range_bucket_counts(ev, ["event_type"], "value", 4,
+                                        k=int(n_max) + 1,
+                                        salt_buckets=4)
+            .orderBy("event_type", "bucket"))
+
+
 def q_skew_join_priority(spark, sf_dir):
     """Skew-resistant split join (sketchlib/joins.py:skew_split_join):
     lineitem x orders where the keys the library's own Misra-Gries
@@ -2011,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_priority": q_skew_join_priority,
         "bloom_antijoin_lineitem": q_bloom_antijoin_lineitem,
         "range_buckets_price": q_range_buckets_price,
+        "range_buckets_per_type": q_range_buckets_per_type,
         "event_transitions": q_event_transitions,
         "cm_decayed_user_freq": q_cm_decayed_user_freq,
         "decayed_top_users": q_decayed_top_users,
@@ -2541,6 +2561,22 @@ SELECT prev_state, state, n_transitions,
        n_transitions / SUM(n_transitions)
          OVER (PARTITION BY prev_state) AS prob
 FROM c ORDER BY prev_state, state"""),
+        "range_buckets_per_type": ("""
+WITH s AS (SELECT event_type, value AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+bounds AS (SELECT s.event_type, s.v AS b FROM qs JOIN s
+             ON s.rn = CAST(ceil(q * s.n) AS BIGINT))
+SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (SELECT t.event_type,
+             CAST((SELECT COUNT(*) FROM bounds b
+                   WHERE b.event_type = t.event_type AND t.v > b.b)
+                  AS BIGINT) AS bucket
+      FROM (SELECT event_type, value AS v FROM events) t)
+GROUP BY event_type, bucket ORDER BY event_type, bucket"""),
         "range_buckets_price": ("""
 WITH s AS (SELECT l_extendedprice AS v,
                   row_number() OVER (ORDER BY l_extendedprice) AS rn,

@@ -114,6 +114,7 @@ def main() -> int:
                  "join_size_countsketch", "bloom_semijoin_lineitem",
                  "bloom_antijoin_lineitem",
                  "skew_join_priority", "range_buckets_price",
+                 "range_buckets_per_type",
                  "event_transitions",
                  "asof_join_error_click", "hll_rollup_docs",
                  "range_join_ship_window"]:

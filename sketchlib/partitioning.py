@@ -35,7 +35,8 @@ from sketchlib.sketches.kll import KLL
 
 __all__ = ["kll_range_bounds", "range_bucket_col",
            "repartition_by_sketch_ranges", "write_range_partitioned",
-           "range_pruned_read"]
+           "range_pruned_read", "grouped_kll_range_bounds",
+           "grouped_range_bucket_counts"]
 
 
 def kll_range_bounds(df: DataFrame, col: str, n_buckets: int,
@@ -122,3 +123,53 @@ def range_pruned_read(spark, path: str, col: str, bounds: list[float],
             .filter((F.col(bucket_col) >= b_lo) &
                     (F.col(bucket_col) <= b_hi))
             .filter((F.col(col) >= lo) & (F.col(col) <= hi)))
+
+
+def grouped_kll_range_bounds(df: DataFrame, group_cols: list[str],
+                             col: str, n_buckets: int,
+                             k: int = 200,
+                             salt_buckets: int | None = None) -> DataFrame:
+    """PER-GROUP equi-depth bounds: one KLL per group through the
+    salted grouped build, finalized DISTRIBUTED to a
+    ``bounds array<double>`` column — (group..., bounds). The grouped
+    sibling of :func:`kll_range_bounds` for per-tenant / per-language
+    layouts where one global quantile grid would mis-split skewed
+    subpopulations. Bounds follow the same rank spec (smallest value
+    with rank >= ceil(i/n * count)); ``k >= per-group n`` is the
+    exact regime."""
+    from functools import partial as _p
+
+    from sketchlib.aggregate import build_grouped_sketches, finalize_grouped
+    from sketchlib.sketches.kll import KLL
+
+    src = df.select(*group_cols, F.col(col).cast("double").alias("__v"))
+    grouped = build_grouped_sketches(src, group_cols, "__v", _p(KLL, k),
+                                     as_u64=False,
+                                     salt_buckets=salt_buckets)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+
+    def _bounds(sk, _qs=tuple(qs)):
+        return [float(sk.quantile(q)) for q in _qs]
+
+    return finalize_grouped(grouped, _bounds, "bounds", "array<double>")
+
+
+def grouped_range_bucket_counts(df: DataFrame, group_cols: list[str],
+                                col: str, n_buckets: int,
+                                k: int = 200,
+                                salt_buckets: int | None = None
+                                ) -> DataFrame:
+    """(group..., bucket, n_rows): every row bucketed against ITS
+    group's equi-depth bounds. The bucket expression is
+    ``size(filter(bounds, b -> b < v))`` over the joined-back bounds
+    array — a 3-element higher-order filter per row (interpreted but
+    trivially small; the join is a broadcast of |groups| rows)."""
+    bounds = grouped_kll_range_bounds(df, group_cols, col, n_buckets,
+                                      k=k, salt_buckets=salt_buckets)
+    src = df.select(*group_cols, F.col(col).cast("double").alias("__v"))
+    joined = src.join(F.broadcast(bounds), group_cols)
+    bucket = F.size(F.filter("bounds",
+                             lambda b: b < F.col("__v"))).cast("long")
+    return (joined.withColumn("bucket", bucket)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows")))

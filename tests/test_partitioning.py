@@ -114,3 +114,29 @@ def test_range_partitioned_write_prunes_and_matches(spark, skewed_vals,
                      .filter((F.col("range_bucket") >= 2) &
                              (F.col("range_bucket") <= 4)))
     assert direct.count() == bucketed_only.count()
+
+
+def test_grouped_bounds_exact_regime(spark):
+    from sketchlib.partitioning import grouped_range_bucket_counts
+    import pandas as pd
+    rng = np.random.default_rng(13)
+    rows = [("a", float(v)) for v in rng.normal(0, 1, 3000)] + \
+           [("b", float(v)) for v in np.exp(rng.normal(0, 2, 5000))]
+    df = spark.createDataFrame(rows, "g string, v double").cache()
+    got = (grouped_range_bucket_counts(df, ["g"], "v", 4, k=10_000,
+                                       salt_buckets=4)
+           .toPandas().sort_values(["g", "bucket"])
+           .reset_index(drop=True))
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    for g, sub in pdf.groupby("g"):
+        arr = np.sort(sub["v"].to_numpy())
+        n = arr.size
+        bounds = np.array([arr[int(np.ceil(q * n)) - 1]
+                           for q in (0.25, 0.5, 0.75)])
+        want = np.bincount(
+            (sub["v"].to_numpy()[:, None] > bounds[None, :]).sum(axis=1),
+            minlength=4)
+        sg = got[got["g"] == g]
+        for _, row in sg.iterrows():
+            assert int(row["n_rows"]) == int(want[int(row["bucket"])]), g
+        assert int(sg["n_rows"].sum()) == n
