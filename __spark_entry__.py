@@ -1623,6 +1623,57 @@ def q_decayed_top_users_per_type(spark, sf_dir):
             .orderBy("event_type", "rk"))
 
 
+def q_decayed_quantiles_value(spark, sf_dir):
+    """Recency-weighted value distribution: DDSketch built over
+    forward-decay INTEGER weights (the weight_col hook with
+    as_u64=False — per-value SUM(weight) JVM-side, weighted bucket
+    inserts), answering "what does the value distribution look like
+    NOW". Strict gate mirrors ddsketch_quantiles_price: the emitted
+    value is the exact WEIGHTED rank quantile (smallest v with
+    cumulative weight >= ceil(q*W) — one window cumsum,
+    SQL-reproducible) and within_bound is the hard deterministic flag
+    that the DD estimate sits within alpha relative error of it.
+
+    Scale note: the exact-quantile leg (single-partition window cumsum
+    over |distinct values|) exists FOR THE GATE; the production
+    answer at 10^12 rows is the DD estimate alone — blob-sized state,
+    pre-aggregated build, no global sort."""
+    from functools import partial as _p
+    import math
+
+    from pyspark.sql import Window
+
+    from sketchlib.aggregate import build_sketch
+    from sketchlib.decay import decay_weight_col
+    from sketchlib.sketches.dd import DDSketch
+
+    ev = _t(spark, sf_dir, "events")
+    landmark = ev.agg(F.max("ts")).collect()[0][0]
+    w = decay_weight_col("ts", landmark, 7 * 86400)
+    base = ev.select(F.col("value").cast("double").alias("v"),
+                     w.alias("w"))
+
+    alpha = 0.01
+    dd = build_sketch(base.select("v", "w"), "v",
+                      _p(DDSketch, alpha, 4096),
+                      as_u64=False, pre_aggregate=True, weight_col="w")
+
+    agg = base.groupBy("v").agg(F.sum("w").alias("w"))
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.withColumn("cw", F.sum("w").over(win))
+    W = int(base.agg(F.sum("w")).collect()[0][0])
+    qdf = spark.createDataFrame(
+        [(float(q), int(math.ceil(q * W)), float(dd.quantile(q)))
+         for q in _QS], "q double, rank long, dd_est double")
+    return (cum.join(F.broadcast(qdf), F.col("cw") >= F.col("rank"))
+            .groupBy("q", "dd_est").agg(F.min("v").alias("value"))
+            .select("q", "value",
+                    (F.abs(F.col("dd_est") - F.col("value"))
+                     <= alpha * F.abs(F.col("value")))
+                    .alias("within_bound"))
+            .orderBy("q"))
+
+
 def q_decayed_sample_events(spark, sf_dir):
     """Recency-weighted training-data sampling: Efraimidis-Spirakis
     draw proportional to the forward-decay weight (sketchlib/decay.py
@@ -2036,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_top_users": q_decayed_top_users,
         "decayed_sample_events": q_decayed_sample_events,
         "decayed_top_users_per_type": q_decayed_top_users_per_type,
+        "decayed_quantiles_value": q_decayed_quantiles_value,
         "range_join_ship_window": q_range_join_ship_window,
         "asof_join_error_click": q_asof_join_error_click,
         "hll_rollup_docs": q_hll_rollup_docs,
@@ -2494,6 +2546,23 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderstatus = 'F')
 GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        "decayed_quantiles_value": ("""
+WITH lm AS (SELECT MAX(ts) AS m FROM events),
+base AS (SELECT CAST(value AS DOUBLE) AS v,
+                CAST(pow(2, 8 - LEAST(8, GREATEST(0,
+                     CAST(floor(date_diff('second', ts,
+                                          (SELECT m FROM lm))
+                                / 604800.0) AS INTEGER))))
+                     AS BIGINT) AS w
+        FROM events),
+agg AS (SELECT v, SUM(w) AS w FROM base GROUP BY v),
+cum AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM agg),
+tot AS (SELECT SUM(w) AS W FROM base),
+qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT q, MIN(v) AS value, TRUE AS within_bound
+FROM qs, cum, tot
+WHERE cw >= CAST(ceil(q * W) AS BIGINT)
+GROUP BY q ORDER BY q"""),
         "decayed_top_users_per_type": ("""
 WITH lm AS (SELECT MAX(ts) AS m FROM events),
 dc AS (SELECT event_type, user_id,

@@ -82,7 +82,7 @@ def main() -> int:
                  "cm_intersect_user_freq",
                  "cm_drift_user_freq", "kll_ks_drift_langs", "psi_value_drift",
                  "cm_decayed_user_freq", "decayed_top_users",
-                 "decayed_top_users_per_type",
+                 "decayed_top_users_per_type", "decayed_quantiles_value",
                  "cbf_user_freq", "cml_user_freq", "cs4w_user_freq",
                  "cmm_user_freq",
                  "wmh_weighted_jaccard_langs", "filterhll_repeated_shingles",
