@@ -99,7 +99,13 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[], object],
             grouped = (df.select(col).groupBy(col)
                        .agg(F.count("*").alias("__cnt")))
         else:
-            grouped = (df.select(col, weight_col).groupBy(col)
+            # NULL-weight rows contribute nothing (and a key whose
+            # rows are all NULL-weight drops out) — without the
+            # filter, SUM over an all-NULL key yields a NULL __cnt
+            # that reaches the numpy kernel as NaN and corrupts it
+            grouped = (df.select(col, weight_col)
+                       .filter(F.col(weight_col).isNotNull())
+                       .groupBy(col)
                        .agg(F.sum(weight_col).cast("long")
                             .alias("__cnt")))
         if kernel_partitions is not None:
@@ -280,7 +286,10 @@ def build_grouped_sketches_multi(df: DataFrame, key_cols: list[str],
             df = (df.select(*key_cols, col).groupBy(*key_cols, col)
                   .agg(F.count("*").alias("__cnt")))
         else:
+            # NULL-weight rows contribute nothing (see build_sketch:
+            # an all-NULL key would otherwise reach the kernel as NaN)
             df = (df.select(*key_cols, col, weight_col)
+                  .filter(F.col(weight_col).isNotNull())
                   .groupBy(*key_cols, col)
                   .agg(F.sum(weight_col).cast("long").alias("__cnt")))
     elif pre_distinct:

@@ -51,13 +51,22 @@ def decay_weight_col(ts_col: str, landmark, half_life_s: int,
     (full weight), ancient rows to weight 1."""
     age_s = F.unix_timestamp(F.lit(landmark)) - F.unix_timestamp(
         F.col(ts_col))
-    bucket = F.greatest(F.lit(0), F.least(
-        F.lit(max_buckets),
-        F.floor(age_s / F.lit(int(half_life_s))).cast("int")))
+    # clamp in LONG space before any narrowing: floor() returns long,
+    # and casting to int pre-clamp would wrap huge age/half_life
+    # ratios negative — assigning ancient rows FULL weight
+    bucket = F.greatest(F.lit(0).cast("long"), F.least(
+        F.lit(max_buckets).cast("long"),
+        F.floor(age_s / F.lit(int(half_life_s)))))
     # 2^(max_buckets - bucket): pow over small ints is exact in double,
     # the long cast keeps the weight integral (F.shiftright needs a
-    # literal bit count, so it can't take the bucket column)
-    return F.pow(F.lit(2.0), F.lit(max_buckets) - bucket).cast("long")
+    # literal bit count, so it can't take the bucket column).
+    # NULL ts must yield NULL weight explicitly — Spark's least/
+    # greatest SKIP nulls, so without the guard a NULL age would
+    # silently clamp to the max bucket; the weighted builds drop
+    # NULL-weight rows, so "unknown time" contributes nothing.
+    w = F.pow(F.lit(2.0), F.lit(max_buckets) - bucket).cast("long")
+    return F.when(F.col(ts_col).isNull(),
+                  F.lit(None).cast("long")).otherwise(w)
 
 
 def decayed_frequency(spark: SparkSession, df: DataFrame, key_col: str,

@@ -39,7 +39,7 @@ from sketchlib.aggregate import build_sketch
 from sketchlib.queries import _cached_sketch
 
 __all__ = ["join_size_estimate", "bloom_semi_join", "bloom_anti_join",
-           "asof_join", "range_join", "skew_split_join"]
+           "asof_join", "range_join", "skew_split_join", "hot_keys"]
 
 
 def join_size_estimate(df_a: DataFrame, col_a: str,
@@ -245,10 +245,12 @@ def hot_keys(df: DataFrame, key_col: str, top_k: int = 32,
            else df.select(F.xxhash64(key_col).alias("kh")))
     mg = build_sketch(src, "kh", partial(MisraGries, summary_k),
                       pre_aggregate=True)
+    # items() is already (count desc, value asc) — slice, don't re-sort
+    # (an unstable argsort would scramble the tie-break at the cut)
     vals, counts = mg.items()
     vals = vals.view(np.int64)
-    order = np.argsort(counts)[::-1][:top_k]
-    pairs = [(int(vals[i]), int(counts[i])) for i in order]
+    pairs = [(int(v), int(c))
+             for v, c in zip(vals[:top_k], counts[:top_k])]
     if min_count is not None:
         pairs = [(v, c) for v, c in pairs if c >= min_count]
     if not integral and pairs:
@@ -296,6 +298,10 @@ def skew_split_join(fact: DataFrame, dim: DataFrame,
         hot = [v for v, _ in hot_keys(fact, fact_key,
                                       top_k=top_k, summary_k=summary_k)]
     if not hot:
+        # same output schema as the split path: one key column when
+        # the names match (expression join would keep two copies)
+        if dim_key == fact_key:
+            return fact.join(dim, on=fact_key, how=how)
         return fact.join(dim, fact[fact_key] == dim[dim_key], how)
 
     is_hot = F.col(fact_key).isin(hot)   # works for any key type

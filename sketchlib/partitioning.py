@@ -168,8 +168,13 @@ def grouped_range_bucket_counts(df: DataFrame, group_cols: list[str],
                                       k=k, salt_buckets=salt_buckets)
     src = df.select(*group_cols, F.col(col).cast("double").alias("__v"))
     joined = src.join(F.broadcast(bounds), group_cols)
-    bucket = F.size(F.filter("bounds",
-                             lambda b: b < F.col("__v"))).cast("long")
+    # NULL values get bucket NULL, matching range_bucket_col's
+    # documented semantics (F.filter alone would drop NULL-predicate
+    # elements and silently assign bucket 0)
+    bucket = F.when(
+        F.col("__v").isNull(), F.lit(None).cast("long")).otherwise(
+        F.size(F.filter("bounds",
+                        lambda b: b < F.col("__v"))).cast("long"))
     return (joined.withColumn("bucket", bucket)
             .groupBy(*group_cols, "bucket")
             .agg(F.count(F.lit(1)).alias("n_rows")))

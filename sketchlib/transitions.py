@@ -48,6 +48,13 @@ def transition_counts(df: DataFrame, key_col: str,
     if drop_first:
         lagged = lagged.filter(F.col("prev_state").isNotNull())
     else:
+        # fillna with a string is a silent no-op on non-string columns
+        # — the '^' START convention only exists for string states
+        if dict(df.dtypes)[state_col] != "string":
+            raise ValueError(
+                "drop_first=False requires a string state column "
+                "(the '^' start marker has no value in "
+                f"{dict(df.dtypes)[state_col]})")
         lagged = lagged.fillna({"prev_state": START})
     counts = (lagged.groupBy("prev_state", "state")
               .agg(F.count(F.lit(1)).alias("n_transitions")))

@@ -158,3 +158,30 @@ def test_grouped_weight_col_requires_pre_aggregate(spark, ev):
                       F.xxhash64("key").alias("kh"),
                       F.lit(1).alias("w")),
             ["g"], "kh", partial(MisraGries, 8), weight_col="w")
+
+
+def test_null_ts_rows_contribute_nothing(spark):
+    """NULL ts => NULL weight => the row is dropped from the weighted
+    build instead of reaching the kernel as NaN."""
+    import datetime as _dt
+    base = _dt.datetime(2026, 3, 1)
+    df = spark.createDataFrame(
+        [("a", base), ("a", None), ("b", None)],
+        "key string, ts timestamp")
+    got = (decayed_frequency(spark, df, "key", "ts", 7 * 86400,
+                             CMConfig(10, 3, 137, True), landmark=base)
+           .toPandas().set_index("key")["decayed_count_scaled"])
+    assert got["a"] == 256      # the one live row
+    assert got["b"] == 0        # all-NULL key: present in probe, zero
+
+
+def test_huge_age_ratio_still_minimum_weight(spark):
+    """floor(age/half_life) >= 2^31 must clamp to the minimum weight,
+    not wrap negative and get FULL weight."""
+    import datetime as _dt
+    landmark = _dt.datetime(2200, 1, 1)
+    df = spark.createDataFrame(
+        [(_dt.datetime(1970, 1, 2),)], "ts timestamp")
+    got = df.select(decay_weight_col("ts", landmark, 1).alias("w")) \
+            .collect()[0]["w"]
+    assert got == 1

@@ -330,3 +330,17 @@ def test_skew_split_join_string_keys_row_identical(spark):
              .select("conv_id", "x", "meta"))
     assert split.exceptAll(plain).count() == 0
     assert plain.exceptAll(split).count() == 0
+
+
+def test_skew_split_join_empty_hot_schema_matches_split_path(spark,
+                                                             skewed_sides):
+    """hot=[] fallback must yield the same single-key-column schema as
+    the split path (an expression join would keep two 'k' columns and
+    break any downstream select('k'))."""
+    from sketchlib.joins import skew_split_join
+    fact, dim = skewed_sides
+    empty = skew_split_join(fact, dim, "k", hot=[])
+    split = skew_split_join(fact, dim, "k", hot=[7])
+    assert empty.columns == split.columns
+    # the previously-ambiguous reference now resolves
+    assert empty.select("k").count() == split.select("k").count()

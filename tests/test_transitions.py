@@ -46,3 +46,11 @@ def test_probs_row_normalize(spark, tdf):
            .groupBy("prev_state").agg(F.sum("prob").alias("s"))
            .toPandas())
     assert np.allclose(got["s"].to_numpy(), 1.0)
+
+
+def test_start_state_requires_string_states(spark, tdf):
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        transition_counts(tdf.withColumn("rc", F.xxhash64("role")),
+                          "conv_id", ["turn_idx"], "rc",
+                          drop_first=False)

@@ -70,16 +70,25 @@ def main() -> int:
     hot = [v for v, _ in hot_keys(fact, "k", top_k=8, summary_k=4096)]
     detect_s = time.time() - t0
 
-    def plain():
+    def plain_df():
         return (fact.join(dim, "k")
-                .groupBy("dpay").agg(F.sum("payload")).count())
+                .groupBy("dpay").agg(F.sum("payload").alias("s")))
+
+    def split_df():
+        return (skew_split_join(fact, dim, "k", hot=hot)
+                .groupBy("dpay").agg(F.sum("payload").alias("s")))
+
+    def plain():
+        return plain_df().count()
 
     def split():
-        return (skew_split_join(fact, dim, "k", hot=hot)
-                .groupBy("dpay").agg(F.sum("payload")).count())
+        return split_df().count()
 
-    # equality check once, then warm-up, then interleaved best-of
-    assert plain() == split()
+    # real equality check (per-group sums, not just group count),
+    # then interleaved best-of timing
+    a = sorted(map(tuple, plain_df().collect()))
+    b = sorted(map(tuple, split_df().collect()))
+    assert a == b, "skew_split_join result differs from plain join"
     best = {"plain": float("inf"), "split": float("inf")}
     for _ in range(rounds):
         for name, fn in (("plain", plain), ("split", split)):
