@@ -1706,6 +1706,19 @@ def q_event_transitions(spark, sf_dir):
             .orderBy("prev_state", "state"))
 
 
+def q_event_trigrams(spark, sf_dir):
+    """Order-3 sequence mining (sketchlib/transitions.py
+    sequence_ngrams): per-user event trigrams over the deterministic
+    (ts, event_id) order — n-1 LAGs in ONE Window operator over one
+    key exchange, then a bounded |states|^3-group hash agg."""
+    from sketchlib.transitions import sequence_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return (sequence_ngrams(ev, "user_id", ["ts", "event_id"],
+                            "event_type", n=3)
+            .orderBy("s0", "s1", "s2"))
+
+
 def q_range_buckets_price(spark, sf_dir):
     """Sketch-driven equi-depth range partitioning
     (sketchlib/partitioning.py): KLL bounds in the exact regime
@@ -2083,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_buckets_price": q_range_buckets_price,
         "range_buckets_per_type": q_range_buckets_per_type,
         "event_transitions": q_event_transitions,
+        "event_trigrams": q_event_trigrams,
         "cm_decayed_user_freq": q_cm_decayed_user_freq,
         "decayed_top_users": q_decayed_top_users,
         "decayed_sample_events": q_decayed_sample_events,
@@ -2617,6 +2631,16 @@ SELECT user_id AS key,
                          / 604800.0) AS INTEGER))))
                 AS BIGINT)) AS BIGINT) AS decayed_count_scaled
 FROM events GROUP BY user_id ORDER BY key"""),
+        "event_trigrams": ("""
+WITH lagged AS (
+  SELECT lag(event_type, 2) OVER w AS s0,
+         lag(event_type, 1) OVER w AS s1,
+         event_type AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT s0, s1, s2, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM lagged WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+GROUP BY s0, s1, s2 ORDER BY s0, s1, s2"""),
         "event_transitions": ("""
 WITH lagged AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -115,7 +115,7 @@ def main() -> int:
                  "bloom_antijoin_lineitem",
                  "skew_join_priority", "range_buckets_price",
                  "range_buckets_per_type",
-                 "event_transitions",
+                 "event_transitions", "event_trigrams",
                  "asof_join_error_click", "hll_rollup_docs",
                  "range_join_ship_window"]:
         t0 = time.time()

@@ -64,3 +64,27 @@ def transition_counts(df: DataFrame, key_col: str,
             "prob",
             F.col("n_transitions") / F.sum("n_transitions").over(totals))
     return counts
+
+
+def sequence_ngrams(df: DataFrame, key_col: str,
+                    order_cols: list[str], state_col: str,
+                    n: int = 3) -> DataFrame:
+    """Order-``n`` state n-grams per keyed sequence: one row per
+    (state_{i-n+1}, ..., state_i) window with its occurrence count —
+    the sequence-mining generalization of :func:`transition_counts`
+    (n=2). Windows that would cross a sequence start are dropped, so
+    every key contributes exactly ``max(0, len-n+1)`` n-grams.
+
+    Plan shape: n-1 LAG columns over the SAME window specification —
+    Catalyst evaluates them in one Window operator over one key
+    exchange — then a Tungsten hash agg over at most |states|^n
+    groups. No self-joins, no explode."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    cols = [F.lag(F.col(state_col), n - 1 - i).over(w).alias(f"s{i}")
+            for i in range(n - 1)]
+    cols.append(F.col(state_col).alias(f"s{n - 1}"))
+    lagged = df.select(*cols)
+    for i in range(n - 1):
+        lagged = lagged.filter(F.col(f"s{i}").isNotNull())
+    return (lagged.groupBy(*[f"s{i}" for i in range(n)])
+            .agg(F.count(F.lit(1)).alias("n_occurrences")))

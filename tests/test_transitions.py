@@ -54,3 +54,29 @@ def test_start_state_requires_string_states(spark, tdf):
         transition_counts(tdf.withColumn("rc", F.xxhash64("role")),
                           "conv_id", ["turn_idx"], "rc",
                           drop_first=False)
+
+
+def test_trigrams_match_pandas(spark, tdf):
+    from sketchlib.transitions import sequence_ngrams
+    got = (sequence_ngrams(tdf, "conv_id", ["turn_idx"], "role", n=3)
+           .toPandas().set_index(["s0", "s1", "s2"])["n_occurrences"]
+           .sort_index())
+    pdf = tdf.toPandas().sort_values(["conv_id", "turn_idx"])
+    g = pdf.groupby("conv_id")
+    pdf["p1"] = g["role"].shift(1)
+    pdf["p2"] = g["role"].shift(2)
+    want = (pdf.dropna(subset=["p1", "p2"])
+            .groupby(["p2", "p1", "role"]).size().sort_index())
+    assert got.to_numpy().tolist() == want.to_numpy().tolist()
+    assert list(got.index) == list(want.index)
+
+
+def test_trigram_count_per_key(spark):
+    from sketchlib.transitions import sequence_ngrams
+    df = spark.createDataFrame(
+        [("c", i, "x") for i in range(5)] + [("d", 0, "y")],
+        "conv_id string, turn_idx int, role string")
+    got = sequence_ngrams(df, "conv_id", ["turn_idx"], "role", n=3)
+    rows = got.collect()
+    # c contributes 5-3+1 = 3 trigrams, d (len 1 < 3) contributes none
+    assert len(rows) == 1 and rows[0]["n_occurrences"] == 3
