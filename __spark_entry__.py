@@ -2014,7 +2014,47 @@ def q_timetravel_cm_user_freq(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver's correctness gate walks this dict in
+    # order and may truncate (r2 stopped at 50 of 93).  Entries with no
+    # driver-verified CORRECTNESS row in rounds 1-2 are listed FIRST so
+    # a truncated run still covers them; previously-green entries follow.
     return {
+        # --- never driver-checked before round 3 ---
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
+        "domain_stats": q_domain_stats,
+        "training_mix": q_training_mix,
+        "dsir_select": q_dsir_select,
+        "lm_scores": q_lm_scores,
+        "pack_manifest": q_pack_manifest,
+        "curation_pipeline": q_curation_pipeline,
+        "fd_gram_embeddings": q_fd_gram_embeddings,
+        "fd_gram_per_label": q_fd_gram_per_label,
+        "export_shards": q_export_shards,
+        "profile_orders": q_profile_orders,
+        "weighted_sample_orders": q_weighted_sample_orders,
+        "stratified_sample_events": q_stratified_sample_events,
+        "join_size_countsketch": q_join_size_countsketch,
+        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "skew_join_priority": q_skew_join_priority,
+        "bloom_antijoin_lineitem": q_bloom_antijoin_lineitem,
+        "range_buckets_price": q_range_buckets_price,
+        "range_buckets_per_type": q_range_buckets_per_type,
+        "event_transitions": q_event_transitions,
+        "event_trigrams": q_event_trigrams,
+        "cm_decayed_user_freq": q_cm_decayed_user_freq,
+        "decayed_top_users": q_decayed_top_users,
+        "decayed_sample_events": q_decayed_sample_events,
+        "decayed_top_users_per_type": q_decayed_top_users_per_type,
+        "decayed_quantiles_value": q_decayed_quantiles_value,
+        "range_join_ship_window": q_range_join_ship_window,
+        "asof_join_error_click": q_asof_join_error_click,
+        "hll_rollup_docs": q_hll_rollup_docs,
+        "hll_cube_docs": q_hll_cube_docs,
+        "incremental_cm_user_freq": q_incremental_cm_user_freq,
+        "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
+        # --- driver-green in round 1 and/or 2 ---
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
         "cmm_user_freq": q_cmm_user_freq,
@@ -2066,48 +2106,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
-        "repetition_stats": q_repetition_stats,
-        "pii_scan": q_pii_scan,
         "doc_fingerprints": q_doc_fingerprints,
-        "domain_stats": q_domain_stats,
-        "training_mix": q_training_mix,
-        "dsir_select": q_dsir_select,
-        "lm_scores": q_lm_scores,
-        "pack_manifest": q_pack_manifest,
-        "curation_pipeline": q_curation_pipeline,
-        "fd_gram_embeddings": q_fd_gram_embeddings,
-        "fd_gram_per_label": q_fd_gram_per_label,
-        "export_shards": q_export_shards,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
         "top_customers_window": q_top_customers_window,
         "user_sessions": q_user_sessions,
-        "profile_orders": q_profile_orders,
-        "weighted_sample_orders": q_weighted_sample_orders,
-        "stratified_sample_events": q_stratified_sample_events,
-        "join_size_countsketch": q_join_size_countsketch,
-        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
-        "skew_join_priority": q_skew_join_priority,
-        "bloom_antijoin_lineitem": q_bloom_antijoin_lineitem,
-        "range_buckets_price": q_range_buckets_price,
-        "range_buckets_per_type": q_range_buckets_per_type,
-        "event_transitions": q_event_transitions,
-        "event_trigrams": q_event_trigrams,
-        "cm_decayed_user_freq": q_cm_decayed_user_freq,
-        "decayed_top_users": q_decayed_top_users,
-        "decayed_sample_events": q_decayed_sample_events,
-        "decayed_top_users_per_type": q_decayed_top_users_per_type,
-        "decayed_quantiles_value": q_decayed_quantiles_value,
-        "range_join_ship_window": q_range_join_ship_window,
-        "asof_join_error_click": q_asof_join_error_click,
-        "hll_rollup_docs": q_hll_rollup_docs,
-        "hll_cube_docs": q_hll_cube_docs,
-        "incremental_cm_user_freq": q_incremental_cm_user_freq,
-        "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
     }
 
 
@@ -2665,9 +2671,11 @@ bounds AS (SELECT s.event_type, s.v AS b FROM qs JOIN s
              ON s.rn = CAST(ceil(q * s.n) AS BIGINT))
 SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM (SELECT t.event_type,
-             CAST((SELECT COUNT(*) FROM bounds b
-                   WHERE b.event_type = t.event_type AND t.v > b.b)
-                  AS BIGINT) AS bucket
+             CASE WHEN t.v IS NULL THEN NULL
+                  ELSE CAST((SELECT COUNT(*) FROM bounds b
+                             WHERE b.event_type = t.event_type
+                               AND t.v > b.b) AS BIGINT)
+             END AS bucket
       FROM (SELECT event_type, value AS v FROM events) t)
 GROUP BY event_type, bucket ORDER BY event_type, bucket"""),
         "range_buckets_price": ("""

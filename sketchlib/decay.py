@@ -93,7 +93,13 @@ def decayed_frequency(spark: SparkSession, df: DataFrame, key_col: str,
                        w.alias("__w"))
     sk = build_sketch(hashed, "kh", partial(CountMin, cfg),
                       pre_aggregate=True, weight_col="__w")
-    probe = hashed.select("key", "kh").distinct()
+    # Keys whose every row has NULL ts contribute no weight to the
+    # build (NULL __w rows are dropped by the weighted pre-aggregate);
+    # drop them from the probe too, so the output matches the DuckDB
+    # ``SUM(weight) GROUP BY key`` oracle (which yields no row — not 0
+    # — for such keys) if NULL-ts data ever appears.
+    probe = (hashed.filter(F.col("__w").isNotNull())
+             .select("key", "kh").distinct())
     return (_estimate_col(spark, sk, probe, "kh",
                           out_col="decayed_count_scaled")
             .select("key", "decayed_count_scaled"))

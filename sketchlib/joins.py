@@ -241,8 +241,13 @@ def hot_keys(df: DataFrame, key_col: str, top_k: int = 32,
 
     integral = dict(df.dtypes)[key_col] in (
         "tinyint", "smallint", "int", "bigint")
-    src = (df.select(F.col(key_col).cast("long").alias("kh")) if integral
-           else df.select(F.xxhash64(key_col).alias("kh")))
+    # NULL keys would surface as a NaN group in the pre-aggregate and
+    # reach the numpy kernel as undefined uint64 garbage; a NULL key
+    # can't be a join hot key anyway (NULL never equi-matches), so
+    # excluding it here is both safe and required for determinism.
+    nn = df.filter(F.col(key_col).isNotNull())
+    src = (nn.select(F.col(key_col).cast("long").alias("kh")) if integral
+           else nn.select(F.xxhash64(key_col).alias("kh")))
     mg = build_sketch(src, "kh", partial(MisraGries, summary_k),
                       pre_aggregate=True)
     # items() is already (count desc, value asc) — slice, don't re-sort

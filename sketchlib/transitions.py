@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["transition_counts"]
+__all__ = ["transition_counts", "sequence_ngrams"]
 
 START = "^"
 
