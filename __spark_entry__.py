@@ -250,27 +250,22 @@ def q_cs4w_user_freq(spark, sf_dir):
 def q_wmh_weighted_jaccard_langs(spark, sf_dir):
     """L15 counting (weighted) bottom-k MinHash: pairwise weighted
     Jaccard between per-language token MULTISETS, exact at
-    k >= |union support| => strict SQL oracle (sum-min / sum-max)."""
-    import math
+    k >= |union support| => strict SQL oracle (sum-min / sum-max).
+    Pairwise compare is distributed (pairwise_grouped) — blobs never
+    reach the driver, so the shape holds at 10^4+ groups."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches
-    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.aggregate import build_grouped_sketches, pairwise_grouped
     from sketchlib.sketches.wmh import CountingMinHash
 
     with_lang = _lang_tokens(spark, sf_dir)
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
                                      _p(CountingMinHash, 1 << 17),
                                      salt_buckets=8, pre_aggregate=True)
-    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
-    rows = []
-    for la in sorted(sks):
-        for lb in sorted(sks):
-            if la < lb:
-                j = sks[la].weighted_jaccard(sks[lb])
-                rows.append((la, lb, math.floor(j * 1e6) / 1e6))
-    return spark.createDataFrame(
-        rows, "lang_a string, lang_b string, wjaccard double")
+    return (pairwise_grouped(grouped, _cmp_wjaccard, "wjaccard double",
+                             key_col="lang")
+            .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"})
+            .orderBy("lang_a", "lang_b"))
 
 
 def q_filterhll_repeated_shingles(spark, sf_dir):
@@ -299,6 +294,50 @@ def q_cm_intersect_user_freq(spark, sf_dir):
     b = ev.filter(F.col("event_id") % 2 == 1)
     return (Q.cm_intersect_frequency(spark, a, b, "user_id", cfg)
             .orderBy("key"))
+
+
+# -- executor-side pair comparators for pairwise_grouped (picklable,
+# module-level; each takes (sketch_a, sketch_b) with key_a < key_b and
+# returns a tuple matching the query's output schema) --
+
+def _cmp_wjaccard(a, b):
+    import math
+    return (math.floor(a.weighted_jaccard(b) * 1e6) / 1e6,)
+
+
+def _cmp_ks(a, b):
+    import math
+    return (math.floor(a.ks_distance(b) * 1e6) / 1e6,)
+
+
+def _cmp_hll_setops(a, b):
+    return (float(a.union_size(b)), float(a.intersection_size(b)))
+
+
+def _cmp_mh_jaccard(a, b):
+    import math
+    return (math.floor(a.jaccard(b) * 1e6) / 1e6,)
+
+
+def _cmp_mh_setdiff(a, b):
+    return (int(round(a.union_cardinality(b))),
+            int(round(a.intersection_cardinality(b))),
+            int(round(a.difference_cardinality(b))),
+            int(round(b.difference_cardinality(a))))
+
+
+def _cmp_jaccard(a, b):
+    return (float(a.jaccard(b)),)
+
+
+def _cws_deser(raw):
+    import numpy as np
+    return np.frombuffer(raw, dtype=np.int64).reshape(-1, 2)
+
+
+def _cmp_cws(a, b):
+    from sketchlib.sketches.cws import CWSSignature
+    return (float(CWSSignature.similarity(a, b)),)
 
 
 def _mg_pairs(sk):
@@ -365,12 +404,13 @@ def q_kll_ks_drift_langs(spark, sf_dir):
     every other language, computed from per-language KLL sketches built
     through the salted grouped path.  Exact regime (capacity >= group
     size => empirical CDFs are exact), so the SQL grouped-cumsum KS is
-    the strict oracle."""
-    import math
+    the strict oracle.  Distributed pairwise compare restricted to
+    pairs touching the baseline group ('en') via pair_filter — the
+    pair set is pruned BEFORE any blob moves (KS is symmetric, so
+    either orientation of the pair gives the same statistic)."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches
-    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.aggregate import build_grouped_sketches, pairwise_grouped
     from sketchlib.sketches.kll import KLL
 
     docs = _t(spark, sf_dir, "documents")
@@ -378,11 +418,12 @@ def q_kll_ks_drift_langs(spark, sf_dir):
     grouped = build_grouped_sketches(vals, ["lang"], "v",
                                      _p(KLL, 1 << 15), as_u64=False,
                                      salt_buckets=4)
-    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
-    base = sks.pop("en")
-    rows = [(lang, math.floor(base.ks_distance(sk) * 1e6) / 1e6)
-            for lang, sk in sorted(sks.items())]
-    return spark.createDataFrame(rows, "lang string, ks double")
+    pf = (F.col("key_a") == "en") | (F.col("key_b") == "en")
+    pw = pairwise_grouped(grouped, _cmp_ks, "ks double", key_col="lang",
+                          pair_filter=pf)
+    return (pw.select(F.when(F.col("key_a") == "en", F.col("key_b"))
+                      .otherwise(F.col("key_a")).alias("lang"), "ks")
+            .orderBy("lang"))
 
 
 def q_psi_value_drift(spark, sf_dir):
@@ -477,27 +518,18 @@ def q_hll_setops_langs(spark, sf_dir):
     gated by exact counts + 6-sigma-of-union bound flags."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches
-    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.aggregate import build_grouped_sketches, pairwise_grouped
     from sketchlib.sketches.hll import HyperLogLog
 
     with_lang = _lang_tokens(spark, sf_dir)
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
                                      _p(HyperLogLog, _HLL_P), salt_buckets=8,
                                      pre_distinct=True)
-    # pairwise set ops need all group sketches together; lang count is
-    # tiny (5) so collecting the blobs is the right plan here — the
-    # per-group path stays distributed (q_hll_distinct_per_lang)
-    hlls = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
-    est_rows = []
-    for la in sorted(hlls):
-        for lb in sorted(hlls):
-            if la < lb:
-                u = hlls[la].union_size(hlls[lb])
-                i = hlls[la].intersection_size(hlls[lb])
-                est_rows.append((la, lb, float(u), float(i)))
-    est = spark.createDataFrame(
-        est_rows, "lang_a string, lang_b string, est_u double, est_i double")
+    # pairwise set ops computed distributed (pairwise_grouped): the
+    # union/joint-MLE runs on executors per pair, no blob collect
+    est = (pairwise_grouped(grouped, _cmp_hll_setops,
+                            "est_u double, est_i double", key_col="lang")
+           .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"}))
     exact = _pairwise_exact_sets(with_lang)
     bound = F.lit(_HLL_BOUND) * F.col("n_union")
     return (exact.join(est, ["lang_a", "lang_b"])
@@ -517,25 +549,17 @@ def q_minhash_jaccard_langs(spark, sf_dir):
     Jaccard estimator is exact)."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches
-    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.aggregate import build_grouped_sketches, pairwise_grouped
     from sketchlib.sketches.mh import MinHashBottomK
 
     with_lang = _lang_tokens(spark, sf_dir)
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
                                      _p(MinHashBottomK, 1 << 17),
                                      salt_buckets=8, pre_distinct=True)
-    import math
-
-    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
-    rows = []
-    for la in sorted(sks):
-        for lb in sorted(sks):
-            if la < lb:
-                j = sks[la].jaccard(sks[lb])
-                rows.append((la, lb, math.floor(j * 1e6) / 1e6))
-    return spark.createDataFrame(
-        rows, "lang_a string, lang_b string, jaccard double")
+    return (pairwise_grouped(grouped, _cmp_mh_jaccard, "jaccard double",
+                             key_col="lang")
+            .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"})
+            .orderBy("lang_a", "lang_b"))
 
 
 def q_minhash_setdiff_langs(spark, sf_dir):
@@ -546,28 +570,19 @@ def q_minhash_setdiff_langs(spark, sf_dir):
     union, so every estimator returns the exact integer)."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches
-    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.aggregate import build_grouped_sketches, pairwise_grouped
     from sketchlib.sketches.mh import MinHashBottomK
 
     with_lang = _lang_tokens(spark, sf_dir)
     grouped = build_grouped_sketches(with_lang, ["lang"], "kh",
                                      _p(MinHashBottomK, 1 << 17),
                                      salt_buckets=8, pre_distinct=True)
-    sks = {r["lang"]: _de(bytes(r["sketch"])) for r in grouped.collect()}
-    rows = []
-    for la in sorted(sks):
-        for lb in sorted(sks):
-            if la < lb:
-                a, b = sks[la], sks[lb]
-                rows.append((la, lb,
-                             int(round(a.union_cardinality(b))),
-                             int(round(a.intersection_cardinality(b))),
-                             int(round(a.difference_cardinality(b))),
-                             int(round(b.difference_cardinality(a)))))
-    return spark.createDataFrame(
-        rows, "lang_a string, lang_b string, n_union bigint, "
-              "n_inter bigint, n_only_a bigint, n_only_b bigint")
+    return (pairwise_grouped(grouped, _cmp_mh_setdiff,
+                             "n_union bigint, n_inter bigint, "
+                             "n_only_a bigint, n_only_b bigint",
+                             key_col="lang")
+            .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"})
+            .orderBy("lang_a", "lang_b"))
 
 
 def q_kll_quantiles_per_lang(spark, sf_dir):
@@ -715,33 +730,26 @@ def q_setsim_siblings_langs(spark, sf_dir):
     6-sigma bound flags."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_grouped_sketches_multi
-    from sketchlib.sketches.base import deserialize as _de
+    from sketchlib.aggregate import (build_grouped_sketches_multi,
+                                     pairwise_grouped)
     from sketchlib.sketches.bbmh import OnePermMinHash
     from sketchlib.sketches.hmh import HyperMinHash
 
     # one shingle+join scan feeds both estimators and the exact gate;
     # the estimator panel shares ONE grouped pass (the 100 TB shape:
-    # the shuffle is paid once for every estimator over the stream)
+    # the shuffle is paid once for every estimator over the stream);
+    # pairwise compare is distributed, stratified by estimator name
+    # (block_cols) so pairs only form within an estimator
     with_lang = _lang_shingles(spark, sf_dir).cache()
     factories = {"hyperminhash": _p(HyperMinHash, 12, 10),
                  "onepermminhash": _p(OnePermMinHash, 10)}
     grouped = build_grouped_sketches_multi(with_lang, ["lang"], "kh",
                                            factories, salt_buckets=8,
                                            pre_distinct=True)
-    sks: dict = {}
-    for r in grouped.collect():
-        sks.setdefault(r["name"], {})[r["lang"]] = _de(bytes(r["sketch"]))
-    est_rows = []
-    for name in sorted(factories):
-        by_lang = sks.get(name, {})
-        for la in sorted(by_lang):
-            for lb in sorted(by_lang):
-                if la < lb:
-                    est_rows.append((name, la, lb,
-                                     float(by_lang[la].jaccard(by_lang[lb]))))
-    est = spark.createDataFrame(
-        est_rows, "estimator string, lang_a string, lang_b string, j double")
+    est = (pairwise_grouped(grouped, _cmp_jaccard, "j double",
+                            key_col="lang", block_cols=["name"])
+           .withColumnsRenamed({"name": "estimator",
+                                "key_a": "lang_a", "key_b": "lang_b"}))
     exact = _pairwise_exact_sets(with_lang)
     bands = F.create_map(*[F.lit(x) for kv in _SETSIM_BANDS.items()
                            for x in kv])
@@ -756,11 +764,14 @@ def q_cws_weighted_sim_langs(spark, sf_dir):
     """L23 CWS (Ioffe consistent weighted sampling, cws.h analog):
     pairwise WEIGHTED Jaccard between per-language token multisets via
     1024-sample CWS signatures (signatures built per group inside
-    applyInPandas — distributed; only the 1024x2 signatures reach the
-    driver). Gate: exact sum-min/sum-max weighted Jaccard (the wmh
-    oracle) + 6-sigma flag (sqrt(J(1-J)/1024) => band 0.10)."""
+    applyInPandas — distributed — then compared distributed through
+    pairwise_grouped; no signature ever reaches the driver). Gate:
+    exact sum-min/sum-max weighted Jaccard (the wmh oracle) + 6-sigma
+    flag (sqrt(J(1-J)/1024) => band 0.10)."""
+    import numpy as _np
     import pandas as _pd
 
+    from sketchlib.aggregate import pairwise_grouped
     from sketchlib.sketches.cws import CWSSignature
 
     with_lang = _lang_tokens(spark, sf_dir)
@@ -769,24 +780,15 @@ def q_cws_weighted_sim_langs(spark, sf_dir):
     def sig(pdf: _pd.DataFrame) -> _pd.DataFrame:
         s = CWSSignature(1024).signature(pdf["kh"].to_numpy(),
                                          pdf["count"].to_numpy())
-        return _pd.DataFrame({"lang": [pdf["lang"].iloc[0]],
-                              "feat": [s[:, 0].tolist()],
-                              "t": [s[:, 1].tolist()]})
-    import numpy as _np
+        return _pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "sketch": [s.astype(_np.int64).tobytes()]})
 
-    sigs = {r["lang"]: _np.column_stack([r["feat"], r["t"]])
-            for r in (counts.groupBy("lang")
-                      .applyInPandas(sig, "lang string, feat array<long>, "
-                                          "t array<long>")
-                      .collect())}
-    est_rows = []
-    for la in sorted(sigs):
-        for lb in sorted(sigs):
-            if la < lb:
-                est_rows.append(
-                    (la, lb, CWSSignature.similarity(sigs[la], sigs[lb])))
-    est = spark.createDataFrame(est_rows,
-                                "lang_a string, lang_b string, j double")
+    sigtab = counts.groupBy("lang").applyInPandas(
+        sig, "lang string, sketch binary")
+    est = (pairwise_grouped(sigtab, _cmp_cws, "j double", key_col="lang",
+                            deser=_cws_deser)
+           .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"}))
     # sum over the union support of max(ca,cb) = tot_a + tot_b -
     # sum(min) (missing tokens contribute min 0), so the exact weighted
     # Jaccard needs only the inner join + per-lang totals — no

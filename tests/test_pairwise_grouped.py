@@ -1,0 +1,131 @@
+"""pairwise_grouped: distributed pairwise comparison of grouped sketch
+blobs (the fix for the driver-side collect-and-nested-loop shape flagged
+in round 2).
+
+Gates:
+- correctness: pairwise MinHash Jaccard over synthetic groups matches a
+  driver-computed exact reference;
+- asymmetric compare order: with key_a < key_b the first argument IS
+  the key_a sketch (set-difference orientation test);
+- pair_filter prunes the pair set;
+- SCALE SHAPE at 10^4 groups: the blob table never funnels through the
+  driver — DataFrame.collect/toPandas are poisoned for the whole
+  build + execution, and the broadcast side of the plan is keys-only
+  (no sketch column below any BroadcastExchange).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+from sketchlib.aggregate import build_grouped_sketches, pairwise_grouped
+from sketchlib.sketches.mh import MinHashBottomK
+
+from .conftest import plan_of
+
+
+def _cmp_j(a, b):
+    return (float(a.jaccard(b)),)
+
+
+def _cmp_diff(a, b):
+    return (int(round(a.difference_cardinality(b))),
+            int(round(b.difference_cardinality(a))))
+
+
+def _groups_df(spark, n_groups: int, blocks: int | None = None):
+    """n_groups groups, group g holds values {g, g+1, ..., g+9} hashed —
+    adjacent groups overlap 9/11 (exact-regime MinHash => exact J)."""
+    df = (spark.range(n_groups)
+          .select(F.col("id").alias("gid"),
+                  F.explode(F.sequence(F.col("id"),
+                                       F.col("id") + 9)).alias("v"))
+          .select("gid", F.xxhash64("v").alias("kh")))
+    if blocks is not None:
+        df = df.withColumn("blk", (F.col("gid") % blocks).cast("int"))
+    return df
+
+
+def test_pairwise_matches_exact(spark):
+    grouped = build_grouped_sketches(_groups_df(spark, 6), ["gid"], "kh",
+                                     partial(MinHashBottomK, 1 << 10),
+                                     pre_distinct=True)
+    got = {(r["key_a"], r["key_b"]): r["j"]
+           for r in pairwise_grouped(grouped, _cmp_j, "j double",
+                                     key_col="gid").collect()}
+    assert len(got) == 15  # C(6,2)
+    for (a, b), j in got.items():
+        sa = set(range(a, a + 10))
+        sb = set(range(b, b + 10))
+        exact = len(sa & sb) / len(sa | sb)
+        assert j == pytest.approx(exact), (a, b)
+
+
+def test_pairwise_compare_orientation(spark):
+    # group 0 = {0..9}, group 5 = {5..14}: |A\B| = |B\A| = 5 is
+    # symmetric, so use groups with different sizes instead
+    rows = [(0, v) for v in range(10)] + [(1, v) for v in range(8, 11)]
+    df = (spark.createDataFrame(rows, "gid long, v long")
+          .select("gid", F.xxhash64("v").alias("kh")))
+    grouped = build_grouped_sketches(df, ["gid"], "kh",
+                                     partial(MinHashBottomK, 1 << 10),
+                                     pre_distinct=True)
+    [r] = pairwise_grouped(grouped, _cmp_diff,
+                           "only_a bigint, only_b bigint",
+                           key_col="gid").collect()
+    assert (r["key_a"], r["key_b"]) == (0, 1)
+    assert r["only_a"] == 8  # {0..7}
+    assert r["only_b"] == 1  # {10}
+
+
+def test_pair_filter_prunes(spark):
+    grouped = build_grouped_sketches(_groups_df(spark, 8), ["gid"], "kh",
+                                     partial(MinHashBottomK, 1 << 10),
+                                     pre_distinct=True)
+    out = pairwise_grouped(grouped, _cmp_j, "j double", key_col="gid",
+                           pair_filter=(F.col("key_a") == 0))
+    assert out.count() == 7
+
+
+def test_scale_10k_groups_no_driver_collect(spark):
+    """10^4 groups stratified into 500 blocks (20 groups each =>
+    500 * C(20,2) = 95,000 pairs), built and compared end-to-end while
+    DataFrame.collect / toPandas raise — proving no blob (or anything
+    else) funnels through the driver on the pairwise path."""
+    n_groups, blocks = 10_000, 500
+    grouped = build_grouped_sketches(
+        _groups_df(spark, n_groups, blocks=blocks), ["blk", "gid"], "kh",
+        partial(MinHashBottomK, 64), pre_distinct=True)
+
+    def _poisoned(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("driver collect on the pairwise path")
+
+    saved = (DataFrame.collect, DataFrame.toPandas, DataFrame.take)
+    DataFrame.collect = DataFrame.toPandas = DataFrame.take = _poisoned
+    try:
+        out = pairwise_grouped(grouped, _cmp_j, "j double",
+                               key_col="gid", block_cols=["blk"],
+                               num_partitions=32)
+        n_pairs = out.count()          # full distributed execution
+    finally:
+        (DataFrame.collect, DataFrame.toPandas, DataFrame.take) = saved
+    assert n_pairs == blocks * (20 * 19) // 2
+
+    # keys-only broadcast: no sketch bytes below any BroadcastExchange
+    plan = plan_of(out)
+    import re
+    for m in re.finditer(r"\(\d+\) BroadcastExchange", plan):
+        # the Arguments/Input lines for this node follow in the
+        # details section; check the whole details block for this id
+        nid = re.search(r"\((\d+)\)", m.group(0)).group(1)
+        detail = re.search(rf"^\({nid}\) BroadcastExchange\n(?:.+\n)*?",
+                           plan, re.M)
+        assert detail is None or "sketch" not in detail.group(0)
+
+    # spot-check values after unpoisoning: within a block, groups are
+    # `blocks` apart so sets {g..g+9} never overlap => every j == 0
+    sample = out.filter(F.col("blk") == 7).limit(5).collect()
+    assert sample and all(r["j"] == 0.0 for r in sample)
