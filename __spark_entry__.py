@@ -148,6 +148,17 @@ def q_countsketch_event_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def q_cs_fold_event_freq(spark, sf_dir):
+    """Count-sketch fold(n) width-halving (include/ccm.h:576-588 —
+    round 3: the last vendored-operator gap): build wide, fold 2x down,
+    point-query; exact at the folded collision-free width so the
+    exact-count oracle strict-gates the fold."""
+    ev = _t(spark, sf_dir, "events")
+    return (Q.cs_fold_point_frequency(spark, ev, "user_id",
+                                      np_bits=16, fold_n=2, nh=5)
+            .orderBy("key"))
+
+
 def q_heavy_hitter_tokens(spark, sf_dir):
     """L11/L12: two-pass heavy hitters with exact recount."""
     docs = _t(spark, sf_dir, "documents")
@@ -1401,6 +1412,19 @@ def q_multimodal_features(spark, sf_dir):
             .orderBy("kind"))
 
 
+def q_multimodal_wav_stats(spark, sf_dir):
+    """REAL media decode (round-3 upgrade of the decode stub): genuine
+    RIFF/WAVE PCM16 payloads built with the stdlib wave writer, decoded
+    back with the stdlib wave reader inside mapInPandas, reduced to
+    integer amplitude stats. The samples follow a closed arithmetic
+    form, so the DuckDB oracle re-derives every decoded value exactly —
+    a strict gate over real bytes-in/bytes-out decoding."""
+    from sketchlib import multimodal as M
+    _ensure_shipped(spark)
+    media = M.synthetic_wav_media(spark, 200, seed=42, partitions=8)
+    return M.wav_amplitude_stats(media).orderBy("media_id")
+
+
 def q_pricing_summary(spark, sf_dir):
     """agg breadth (TPC-H Q1 shape) with exact decimal arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2056,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_docs": q_hll_cube_docs,
         "incremental_cm_user_freq": q_incremental_cm_user_freq,
         "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
+        "multimodal_wav_stats": q_multimodal_wav_stats,
+        "cs_fold_event_freq": q_cs_fold_event_freq,
         # --- driver-green in round 1 and/or 2 ---
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
@@ -2754,6 +2780,21 @@ ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
         "countsketch_event_freq": (
             "SELECT event_type AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "cs_fold_event_freq": (
+            "SELECT user_id AS key, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "multimodal_wav_stats": ("""
+WITH m AS (SELECT i, 64 + (i * 31) % 192 AS n FROM range(200) t(i)),
+s AS (SELECT m.i,
+             ((m.i * 7919 + ks.k * 104729 + 42) % 65536) - 32768 AS v
+      FROM m, LATERAL (SELECT unnest(range(m.n)) AS k) ks)
+SELECT i AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY i ORDER BY media_id"""),
         "heavy_hitter_tokens": (
             f"SELECT token, COUNT(*) AS cnt FROM {_TOKENS_SQL} tk "
             "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"),

@@ -107,6 +107,7 @@ def main() -> int:
                  "pii_scan", "domain_stats", "training_mix", "dsir_select", "lm_scores",
                  "pack_manifest", "curation_pipeline",
                  "export_shards", "multimodal_features",
+                 "multimodal_wav_stats", "cs_fold_event_freq",
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",

@@ -62,6 +62,82 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42,
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthetic_wav_media(spark: SparkSession, n: int, seed: int = 42,
+                        sample_rate: int = 8000,
+                        partitions: int = 8) -> DataFrame:
+    """REAL RIFF/WAVE payloads (PCM16 mono), built with the stdlib
+    ``wave`` writer — unlike :func:`synthetic_media` these are genuine
+    decodable media bytes, no decode library required. Samples follow a
+    closed arithmetic form so an independent engine can reproduce the
+    decoded amplitude stats exactly:
+
+        n_samples(i) = 64 + (i * 31) % 192
+        sample(i, k) = ((i * 7919 + k * 104729 + seed) % 65536) - 32768
+    """
+    import io
+    import wave
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                ns = 64 + (i * 31) % 192
+                k = np.arange(ns, dtype=np.int64)
+                samples = ((i * 7919 + k * 104729 + seed) % 65536
+                           - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples.tobytes())
+                rows.append({"media_id": i, "kind": "audio",
+                             "payload": buf.getvalue(),
+                             "mime": "audio/wav", "width": None,
+                             "height": None,
+                             "duration_ms": ns * 1000 // sample_rate})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def wav_amplitude_stats(df: DataFrame) -> DataFrame:
+    """REAL decode of WAV payloads (stdlib ``wave`` — no external
+    decode libs) to integer amplitude statistics, one mapInPandas pass:
+    ``(media_id, n_samples, sample_rate, sum_abs, max_abs, sum_sq)``.
+    Integer outputs on purpose: they strict-gate against a DuckDB
+    oracle that re-derives the samples arithmetically — a float RMS
+    would only bound-gate."""
+    import io
+    import wave
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError(
+                            "only PCM16 mono decoded here")
+                    sr = w.getframerate()
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                a = np.abs(s)
+                out.append({"media_id": int(mid),
+                            "n_samples": int(s.size),
+                            "sample_rate": int(sr),
+                            "sum_abs": int(a.sum()),
+                            "max_abs": int(a.max()) if s.size else 0,
+                            "sum_sq": int((s * s).sum())})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        per_batch,
+        schema="media_id long, n_samples long, sample_rate long, "
+               "sum_abs long, max_abs long, sum_sq long")
+
+
 def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB decoder: deterministic pseudo-features — feature j is the
     sum of payload bytes at positions ``k ≡ j (mod dim)`` (a strided

@@ -127,6 +127,29 @@ def countsketch_point_frequency(spark: SparkSession, df: DataFrame,
     return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
 
 
+def cs_fold_point_frequency(spark: SparkSession, df: DataFrame,
+                            key_col: str, np_bits: int = 16,
+                            fold_n: int = 2, nh: int = 5,
+                            seed: int = 137) -> DataFrame:
+    """Count-sketch ``fold(n)`` width reduction (reference
+    include/ccm.h:576-588) through the distributed build: the sketch is
+    built at width ``2^(np_bits+fold_n)`` and folded down to
+    ``2^np_bits`` before querying. Fold is linear and the hash
+    construction is width-independent, so the folded sketch is
+    bit-identical to a direct build at the smaller width — at
+    collision-free ``np_bits`` the exact-count oracle therefore
+    strict-gates the fold operator itself."""
+    from sketchlib.sketches.countsketch import CountSketch
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(CountSketch, np_bits + fold_n, nh, seed),
+                      pre_aggregate=True).fold(fold_n)
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
 def cs4w_point_frequency(spark: SparkSession, df: DataFrame,
                          key_col: str, np_bits: int = 16,
                          nh: int = 5, seed: int = 137) -> DataFrame:

@@ -275,6 +275,30 @@ class CountMin:
         return np.clip(med, 0.0, cells.min(axis=0))
 
     # -------------------------------------------------------------- merge
+    def fold(self, n: int = 1) -> "CountMin":
+        """CM analog of count-sketch ``fold`` (include/ccm.h:576-588):
+        per row, sum cells whose positions alias modulo the new width
+        ``w >> n`` (positions are the low ``np_bits`` hash bits, so the
+        aliasing is exact).
+
+        PLAIN CM: ``build(w).fold(n)`` is bit-identical to
+        ``build(w >> n)`` (both are linear in the update stream) and
+        fold commutes with merge. CONSERVATIVE CM: folding a
+        conservative-built core is NOT the same array as building
+        conservatively at the smaller width (the update rule is
+        nonlinear), but the one-sided guarantee survives: every cell a
+        key maps to is >= its true count, and summing the nonnegative
+        aliased cell keeps it so — ``fold().estimate(x) >= true(x)``,
+        property-tested."""
+        if not 1 <= n <= self.config.np_bits:
+            raise ValueError(f"fold n={n} out of range for "
+                             f"np_bits={self.config.np_bits}")
+        cfg = CMConfig(self.config.np_bits - n, self.config.nh,
+                       self.config.seed, self.config.conservative)
+        core = (self.core.reshape(self.core.shape[0], -1, cfg.width)
+                .sum(axis=1, dtype=_U64))
+        return CountMin(cfg, core)
+
     def merge(self, other: "CountMin") -> "CountMin":
         assert self.config == other.config
         self.core += other.core

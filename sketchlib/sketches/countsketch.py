@@ -90,6 +90,31 @@ class CountSketch:
         per_row = (self.core * other.core).sum(axis=1)
         return float(np.median(per_row))
 
+    # ------------------------------------------------------------- fold
+    def fold(self, n: int = 1) -> "CountSketch":
+        """Width reduction by 2^n: per row, cells whose positions alias
+        modulo the new width are summed (reference: include/ccm.h:576-588
+        ``fold(int n)``).
+
+        The reference's own fold is half-finished: its sign bit is
+        ``hv & (1 << np_)`` so re-deriving signs at the smaller ``np_``
+        scrambles estimates, and its mod mapping runs over the FLAT
+        core so positions smear across hash rows. Our hash construction
+        (sign = bit 63, position = low ``np_bits`` — both
+        width-independent per row) makes the mathematically intended
+        semantics exact: ``build(w).fold(n)`` is BIT-IDENTICAL to
+        ``build(w >> n)`` over the same weighted stream, and folds
+        commute with merges (all three are linear maps on the core).
+        Use case: shrink an archived sketch to the width of a smaller
+        one so they can merge / inner-product."""
+        if not 1 <= n <= self.np_bits:
+            raise ValueError(f"fold n={n} out of range for "
+                             f"np_bits={self.np_bits}")
+        w2 = 1 << (self.np_bits - n)
+        core = self.core.reshape(self.nh, -1, w2).sum(axis=1)
+        return CountSketch(self.np_bits - n, self.nh, self.seed,
+                           core.astype(_I64))
+
     # ------------------------------------------------------------ merge
     def merge(self, other: "CountSketch") -> "CountSketch":
         assert (self.np_bits, self.nh, self.seed) == \
