@@ -148,6 +148,17 @@ def q_countsketch_event_freq(spark, sf_dir):
             .orderBy("key"))
 
 
+def q_cm_packed_user_freq(spark, sf_dir):
+    """Conservative CM over bit-packed (compact::vector-style) 32-bit
+    counters — round 3 closes SURVEY §1.1's last declared skip; exact
+    at collision-free width => exact-count oracle."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = CMConfig(np_bits=16, nh=5, seed=137, conservative=True)
+    return (Q.cm_packed_point_frequency(spark, ev, "user_id", cfg,
+                                        nbits=32)
+            .orderBy("key"))
+
+
 def q_cs_fold_event_freq(spark, sf_dir):
     """Count-sketch fold(n) width-halving (include/ccm.h:576-588 —
     round 3: the last vendored-operator gap): build wide, fold 2x down,
@@ -2082,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
         "multimodal_wav_stats": q_multimodal_wav_stats,
         "cs_fold_event_freq": q_cs_fold_event_freq,
+        "cm_packed_user_freq": q_cm_packed_user_freq,
         # --- driver-green in round 1 and/or 2 ---
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
@@ -2781,6 +2793,9 @@ ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
             "SELECT event_type AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
         "cs_fold_event_freq": (
+            "SELECT user_id AS key, COUNT(*) AS est_count "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "cm_packed_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
         "multimodal_wav_stats": ("""

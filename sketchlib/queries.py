@@ -127,6 +127,27 @@ def countsketch_point_frequency(spark: SparkSession, df: DataFrame,
     return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
 
 
+def cm_packed_point_frequency(spark: SparkSession, df: DataFrame,
+                              key_col: str, cfg: CMConfig,
+                              nbits: int = 32) -> DataFrame:
+    """Conservative CM over BIT-PACKED counters (reference
+    compact::vector storage, include/ccm.h:33-42 — counters are
+    ``nbits`` wide instead of 64, shrinking blob/merge traffic by
+    64/nbits). Packed and uint64 builds are bit-identical while no
+    counter overflows (property-tested), so at collision-free width the
+    exact-count oracle strict-gates the packed storage end-to-end
+    through the distributed build + merge + blob registry."""
+    from sketchlib.sketches.packedcm import CountMinPacked
+
+    hashed = df.select(F.col(key_col).alias("key"),
+                       F.xxhash64(key_col).alias("kh"))
+    sk = build_sketch(hashed, "kh",
+                      partial(CountMinPacked, cfg, nbits),
+                      pre_aggregate=True)
+    keys = hashed.distinct()
+    return _estimate_col(spark, sk, keys, "kh").select("key", "est_count")
+
+
 def cs_fold_point_frequency(spark: SparkSession, df: DataFrame,
                             key_col: str, np_bits: int = 16,
                             fold_n: int = 2, nh: int = 5,

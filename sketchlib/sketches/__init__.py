@@ -114,3 +114,8 @@ try:
     register(MisraGries)
 except ImportError:
     pass
+try:
+    from sketchlib.sketches.packedcm import CountMinPacked
+    register(CountMinPacked)
+except ImportError:
+    pass

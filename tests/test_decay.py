@@ -162,7 +162,11 @@ def test_grouped_weight_col_requires_pre_aggregate(spark, ev):
 
 def test_null_ts_rows_contribute_nothing(spark):
     """NULL ts => NULL weight => the row is dropped from the weighted
-    build instead of reaching the kernel as NaN."""
+    build instead of reaching the kernel as NaN; a key whose EVERY row
+    has NULL ts is dropped from the probe too (round-3 oracle-semantics
+    fix: the DuckDB SUM(weight) GROUP BY oracle yields no row for such
+    keys, so 'absent', not 'present with 0', is the gate-consistent
+    output)."""
     import datetime as _dt
     base = _dt.datetime(2026, 3, 1)
     df = spark.createDataFrame(
@@ -171,8 +175,8 @@ def test_null_ts_rows_contribute_nothing(spark):
     got = (decayed_frequency(spark, df, "key", "ts", 7 * 86400,
                              CMConfig(10, 3, 137, True), landmark=base)
            .toPandas().set_index("key")["decayed_count_scaled"])
-    assert got["a"] == 256      # the one live row
-    assert got["b"] == 0        # all-NULL key: present in probe, zero
+    assert got["a"] == 256        # the one live row
+    assert "b" not in got.index   # all-NULL key: dropped like the oracle
 
 
 def test_huge_age_ratio_still_minimum_weight(spark):
