@@ -1436,6 +1436,18 @@ def q_multimodal_wav_stats(spark, sf_dir):
     return M.wav_amplitude_stats(media).orderBy("media_id")
 
 
+def q_multimodal_bmp_stats(spark, sf_dir):
+    """REAL image decode (round 3, the image sibling of
+    multimodal_wav_stats): genuine 24-bit BMP payloads (stdlib struct,
+    bottom-up scanlines, stride padding) decoded back inside
+    mapInPandas to integer channel sums; the closed pixel form makes
+    the DuckDB oracle a strict gate over real decoding."""
+    from sketchlib import multimodal as M
+    _ensure_shipped(spark)
+    media = M.synthetic_bmp_media(spark, 150, seed=42, partitions=8)
+    return M.bmp_pixel_stats(media).orderBy("media_id")
+
+
 def q_pricing_summary(spark, sf_dir):
     """agg breadth (TPC-H Q1 shape) with exact decimal arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2094,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_stats": q_multimodal_wav_stats,
         "cs_fold_event_freq": q_cs_fold_event_freq,
         "cm_packed_user_freq": q_cm_packed_user_freq,
+        "multimodal_bmp_stats": q_multimodal_bmp_stats,
         # --- driver-green in round 1 and/or 2 ---
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
@@ -2798,6 +2811,23 @@ ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
         "cm_packed_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "multimodal_bmp_stats": ("""WITH m AS (SELECT i, 4 + (i * 3) % 29 AS w, 2 + (i * 5) % 17 AS h
+           FROM range(150) t(i)),
+px AS (SELECT m.i, m.w, m.h,
+              (m.i * 31 + ys.y * 7 + xs.x * 13 + 0 * 101 + 42) % 256 AS r,
+              (m.i * 31 + ys.y * 7 + xs.x * 13 + 1 * 101 + 42) % 256 AS g,
+              (m.i * 31 + ys.y * 7 + xs.x * 13 + 2 * 101 + 42) % 256 AS b
+       FROM m,
+            LATERAL (SELECT unnest(range(m.h)) AS y) ys,
+            LATERAL (SELECT unnest(range(m.w)) AS x) xs)
+SELECT i AS media_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(MAX(30 * r + 59 * g + 11 * b) AS BIGINT) AS max_luma_x100
+FROM px GROUP BY i ORDER BY media_id"""),
         "multimodal_wav_stats": ("""
 WITH m AS (SELECT i, 64 + (i * 31) % 192 AS n FROM range(200) t(i)),
 s AS (SELECT m.i,

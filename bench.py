@@ -108,7 +108,7 @@ def main() -> int:
                  "pack_manifest", "curation_pipeline",
                  "export_shards", "multimodal_features",
                  "multimodal_wav_stats", "cs_fold_event_freq",
-                 "cm_packed_user_freq",
+                 "cm_packed_user_freq", "multimodal_bmp_stats",
                  "pricing_summary", "top_customers_window",
                  "user_sessions", "profile_orders",
                  "weighted_sample_orders", "stratified_sample_events",
