@@ -1436,6 +1436,25 @@ def q_multimodal_wav_stats(spark, sf_dir):
     return M.wav_amplitude_stats(media).orderBy("media_id")
 
 
+_BM25_TERMS = ["hash", "join", "filter"]
+
+
+def q_bm25_topk_docs(spark, sf_dir):
+    """BM25 top-k corpus retrieval (Okapi BM25, Lucene non-negative idf
+    variant — round-3 text-pipeline addition): pure Catalyst (tf filter
+    pushed before its aggregate, broadcast df/stats joins,
+    TakeOrderedAndProject cut). Gate: scores floored at 1e-4 in both
+    engines, ordered (score desc, doc_id) — all arithmetic is IEEE
+    +,-,*,/ plus one ln, reproduced exactly by the DuckDB oracle."""
+    from sketchlib import search as S
+    docs = _t(spark, sf_dir, "documents")
+    sc = S.bm25_scores(docs, _BM25_TERMS)
+    return (sc.select("doc_id",
+                      (F.floor(F.col("score") * 1e4) / 1e4)
+                      .alias("score"))
+            .orderBy(F.col("score").desc(), "doc_id").limit(20))
+
+
 def q_multimodal_bmp_stats(spark, sf_dir):
     """REAL image decode (round 3, the image sibling of
     multimodal_wav_stats): genuine 24-bit BMP payloads (stdlib struct,
@@ -2107,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_fold_event_freq": q_cs_fold_event_freq,
         "cm_packed_user_freq": q_cm_packed_user_freq,
         "multimodal_bmp_stats": q_multimodal_bmp_stats,
+        "bm25_topk_docs": q_bm25_topk_docs,
         # --- driver-green in round 1 and/or 2 ---
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
@@ -2811,6 +2831,23 @@ ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
         "cm_packed_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "bm25_topk_docs": (f"""
+WITH toks AS (SELECT doc_id, token FROM {_TOKENS_SQL} t),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+tf AS (SELECT doc_id, token, COUNT(*) AS tfc FROM toks
+       WHERE token IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+dft AS (SELECT token, COUNT(DISTINCT doc_id) AS dft FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+sc AS (SELECT tf.doc_id,
+              SUM(ln(1 + (s.n - d.dft + 0.5) / (d.dft + 0.5))
+                  * tf.tfc * (1.2 + 1)
+                  / (tf.tfc + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / s.avgdl))) AS score
+       FROM tf JOIN dl USING (doc_id) JOIN dft d USING (token)
+            CROSS JOIN stats s
+       GROUP BY 1)
+SELECT doc_id, FLOOR(score * 1e4) / 1e4 AS score
+FROM sc ORDER BY 2 DESC, 1 LIMIT 20"""),
         "multimodal_bmp_stats": ("""WITH m AS (SELECT i, 4 + (i * 3) % 29 AS w, 2 + (i * 5) % 17 AS h
            FROM range(150) t(i)),
 px AS (SELECT m.i, m.w, m.h,
