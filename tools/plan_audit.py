@@ -97,6 +97,23 @@ AUDITED = [
      "dim side broadcasts (no sort-merge join)"),
     ("pricing_summary",
      "filter pushed to the parquet scan; scan schema pruned"),
+    # round-3 additions
+    ("bm25_topk_docs",
+     "pure Catalyst BM25 in ONE corpus scan: per-term tf columns "
+     "pivoted into the single per-doc Tungsten aggregate, corpus "
+     "stats reduced to a 1-row broadcast, codegen scoring, "
+     "TakeOrderedAndProject cut — 2 exchanges total, no UDF anywhere"),
+    ("cm_packed_user_freq",
+     "bit-packed conservative CM rides the identical pre-aggregate + "
+     "broadcast-probe shape as the uint64 sibling; only the blob "
+     "payload shrinks (64/nbits)"),
+    ("minhash_jaccard_langs",
+     "distributed pairwise finalize (round 3): keys-only broadcast "
+     "pair enumeration, blobs attached by two shuffled equi-joins, "
+     "jaccard computed in mapInPandas — no driver blob collect"),
+    ("multimodal_wav_stats",
+     "real WAV decode: generator and decoder are two chained "
+     "mapInPandas over the range scan — a 0-exchange narrow pipeline"),
 ]
 
 
