@@ -1436,6 +1436,19 @@ def q_multimodal_wav_stats(spark, sf_dir):
     return M.wav_amplitude_stats(media).orderBy("media_id")
 
 
+def q_budget_select_docs(spark, sf_dir):
+    """Token-budget corpus selection (round 3): keep the best-quality
+    documents until a global token budget fills — a distributed prefix
+    sum (range exchange + per-partition numpy cumsum + |partitions|
+    scalar offsets), NOT a single-partition window. Strict oracle: the
+    same greedy prefix via SQL SUM OVER (ORDER BY quality DESC, id)."""
+    from sketchlib.export import select_within_budget
+    docs = _t(spark, sf_dir, "documents")
+    scored = TS.quality_score(docs).select(
+        "doc_id", "quality_score", "n_tokens")
+    return select_within_budget(scored, budget=15_000)
+
+
 _BM25_TERMS = ["hash", "join", "filter"]
 
 
@@ -2127,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_packed_user_freq": q_cm_packed_user_freq,
         "multimodal_bmp_stats": q_multimodal_bmp_stats,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "budget_select_docs": q_budget_select_docs,
         # --- driver-green in round 1 and/or 2 ---
         "cm_event_type_freq": q_cm_event_type_freq,
         "cm_conservative_user_freq": q_cm_conservative_user_freq,
@@ -2348,6 +2362,34 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    # quality-score body shared by the quality_score and
+    # budget_select_docs oracles (identical arithmetic, one source)
+    quality_body = (
+        "SELECT doc_id, n_tokens, "
+        " floor((0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 "
+        "                    THEN 1.0 ELSE 0.0 END)"
+        "        + 0.3 * least((sw * 1.0 / n_tokens) * 10.0, 1.0)"
+        "        + 0.3 * (n_alnum * 1.0 / n_chars)) * 1e6) / 1e6"
+        "   AS quality_score "
+        "FROM ("
+        " SELECT doc_id, "
+        "  len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "      t -> t <> '')) AS n_tokens, "
+        "  length(text) AS n_chars, "
+        "  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) "
+        "    AS n_alnum, "
+        + " + ".join(hits(lg) for lg in langs) + " AS sw "
+        " FROM documents)")
+    budget_select_sql = f"""
+WITH scored AS ({quality_body}),
+c AS (SELECT doc_id, quality_score, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+               AS cum_tokens
+      FROM scored)
+SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id"""
 
     multimodal_sql = """
 WITH m AS (SELECT i,
@@ -2831,6 +2873,7 @@ ORDER BY lang NULLS FIRST, source NULLS FIRST"""),
         "cm_packed_user_freq": (
             "SELECT user_id AS key, COUNT(*) AS est_count "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "budget_select_docs": budget_select_sql,
         "bm25_topk_docs": (f"""
 WITH toks AS (SELECT doc_id, token FROM {_TOKENS_SQL} t),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),

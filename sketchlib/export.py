@@ -38,9 +38,80 @@ from pyspark.sql import DataFrame, Window, functions as F
 from sketchlib.sampling import weighted_sample
 
 __all__ = ["mixture_weights", "temperature_sample", "shuffle_shard",
-           "write_shards"]
+           "write_shards", "select_within_budget"]
 
 _SEP = "\x1f"  # unit separator; DuckDB spells it chr(31)
+
+
+def select_within_budget(scored: DataFrame, budget: int,
+                         quality_col: str = "quality_score",
+                         tokens_col: str = "n_tokens",
+                         id_col: str = "doc_id",
+                         partitions: int | None = None) -> DataFrame:
+    """Greedy quality-first corpus selection under a global token
+    budget: walk documents in ``(quality desc, id asc)`` order and keep
+    the maximal prefix whose running token total stays <= ``budget``
+    (the standard "best docs until the budget is full" curation rule;
+    the first overflowing doc and everything after it are excluded).
+
+    100 TB shape — a distributed prefix sum, NOT a single-partition
+    window: ``repartitionByRange`` on the sort key gives ordered
+    partitions (one range exchange, the minimum any global order
+    needs); each partition computes its local cumsum in one numpy pass;
+    the |partitions| per-partition totals — scalars, not rows — are
+    exclusive-prefix-summed on the driver and broadcast back as a
+    literal map; the final filter is codegen. Only k selected ids flow
+    onward; the corpus never collects anywhere.
+
+    Returns ``(id, quality, tokens, cum_tokens)`` for the selected
+    prefix, ordered by id."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    src = scored.select(F.col(id_col).alias("id"),
+                        F.col(quality_col).alias("q"),
+                        F.col(tokens_col).cast("long").alias("t"))
+    n_parts = partitions or src.sparkSession.sparkContext.defaultParallelism
+    rp = src.repartitionByRange(n_parts, F.col("q").desc(), F.col("id"))
+
+    def local_cumsum(batches):
+        pid = TaskContext.get().partitionId()
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(["q", "id"],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        pdf["local_cum"] = pdf["t"].cumsum()
+        pdf["pid"] = pid
+        yield pdf
+
+    from pyspark import StorageLevel
+    local = rp.mapInPandas(
+        local_cumsum,
+        schema="id long, q double, t long, local_cum long, pid int") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # |partitions| scalar totals -> exclusive prefix offsets (driver
+    # folds P numbers, bounded at any data scale); the range
+    # partitioner orders partitions by the same (q desc, id) key the
+    # local sort uses, so offset[pid] is exact
+    totals = {r["pid"]: r["s"] for r in
+              local.groupBy("pid").agg(F.sum("t").alias("s")).collect()}
+    off, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = off
+        off += totals[pid]
+    omap = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
+    return (local
+            .withColumn("cum_tokens", F.col("local_cum")
+                        + omap[F.col("pid")])
+            .filter(F.col("cum_tokens") <= budget)
+            .select(F.col("id").alias(id_col),
+                    F.col("q").alias(quality_col),
+                    F.col("t").alias(tokens_col), "cum_tokens")
+            .orderBy(id_col))
 
 
 def mixture_weights(df: DataFrame, group_col: str, alpha: float,
