@@ -220,3 +220,32 @@ def test_misra_gries_bound_any_merge_tree(cuts, order):
     slack = acc.n / (k + 1)
     assert np.all(est <= true_counts)
     assert np.all(est >= true_counts - slack)
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy)
+def test_packed_cm_partition_invariant(cuts, order):
+    """Round 3: the bit-packed plain-CM core is merge-algebra-identical
+    to the uint64 CountMin under ANY partitioning/merge order (both
+    are linear; packing is storage, not semantics)."""
+    from sketchlib.sketches.packedcm import CountMinPacked
+
+    cfg = CMConfig(10, 5, 7, conservative=False)
+    whole = CountMin(cfg)
+    whole.update(_STREAM)
+    merged = _partials(lambda: CountMinPacked(cfg, nbits=32),
+                       cuts, list(order))
+    assert (merged.to_unpacked().core == whole.core).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(cuts=partition_strategy, order=order_strategy,
+       n=st.integers(min_value=1, max_value=3))
+def test_countsketch_fold_commutes_with_any_merge_tree(cuts, order, n):
+    """Round 3: fold(n) is a linear map, so folding the partials then
+    merging equals merging then folding — and both equal the direct
+    build at the smaller width — under ANY partitioning/merge order."""
+    whole = CountSketch(10 - n, 5, 7)
+    whole.update(_STREAM)
+    merged = _partials(lambda: CountSketch(10, 5, 7), cuts, list(order))
+    assert (merged.fold(n).core == whole.core).all()

@@ -225,3 +225,33 @@ def test_event_transitions_single_key_exchange_before_window(spark):
     assert len(key_ex) == 1
     m = re.search(r"\((\d+)\) HashAggregate[^(]*partial_count", plan)
     assert m is not None
+
+
+def test_multimodal_wav_zero_exchange_pipeline(spark):
+    """Round 3: WAV generate + decode are two chained mapInPandas over
+    the range scan — a narrow 0-exchange pipeline (the orderBy at the
+    driver contract's tail is the only sort and costs one exchange at
+    most; the decode itself must not shuffle)."""
+    from sketchlib.multimodal import synthetic_wav_media, wav_amplitude_stats
+    df = wav_amplitude_stats(synthetic_wav_media(spark, 16, partitions=4))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_multimodal_bmp_zero_exchange_pipeline(spark):
+    from sketchlib.multimodal import bmp_pixel_stats, synthetic_bmp_media
+    df = bmp_pixel_stats(synthetic_bmp_media(spark, 16, partitions=4))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_bm25_single_corpus_scan(spark):
+    """Round 3: the pivoted BM25 plan reads the documents table ONCE
+    for scoring plus once for the (cached) per-doc stats reduction —
+    the plan must show at most 2 parquet scans and exactly 2 shuffle
+    exchanges, with no Python eval anywhere."""
+    import re
+    plan = _plan(E.queries()["bm25_topk_docs"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
