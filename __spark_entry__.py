@@ -455,19 +455,30 @@ def q_psi_value_drift(spark, sf_dir):
     compaction) => integer bucket counts with a strict SQL oracle that
     reproduces the edge rule bit-for-bit (same IEEE ``ceil((i/10.0)*n)``
     order-statistic index); the PSI scalar itself (KLL.psi) is
-    ln-based and pytest-gated instead."""
+    ln-based and pytest-gated instead.
+
+    ONE scan of events (round-4 plan fix; was two ``build_sketch``
+    calls over separate early/late filters): the half flag is the
+    grouping key of a single grouped build, so both KLLs come back as
+    two blobs from one pass.  Driver work is just deserializing two
+    blobs — the same bounded fan-in every build path has.  KLL merge
+    in the exact regime concatenates buffers and quantile/bucket_counts
+    sort, so the result is bit-identical to the two-scan plan."""
     from functools import partial as _p
 
-    from sketchlib.aggregate import build_sketch
+    from sketchlib.aggregate import build_grouped_sketches
     from sketchlib.sketches.kll import KLL
+    from sketchlib.sketches.base import deserialize
 
     ev = _t(spark, sf_dir, "events")
-    early = (ev.filter(F.dayofmonth("ts") <= 15)
-             .select(F.col("value").cast("double").alias("v")))
-    late = (ev.filter(F.dayofmonth("ts") > 15)
-            .select(F.col("value").cast("double").alias("v")))
-    sko = build_sketch(early, "v", _p(KLL, 1 << 17), as_u64=False)
-    skn = build_sketch(late, "v", _p(KLL, 1 << 17), as_u64=False)
+    vals = ev.select((F.dayofmonth("ts") <= 15).alias("old"),
+                     F.col("value").cast("double").alias("v"))
+    grouped = build_grouped_sketches(vals, ["old"], "v", _p(KLL, 1 << 17),
+                                     as_u64=False, salt_buckets=4)
+    blobs = {bool(r["old"]): bytes(r["sketch"])
+             for r in grouped.collect()}
+    sko = deserialize(blobs[True]) if True in blobs else KLL(1 << 17)
+    skn = deserialize(blobs[False]) if False in blobs else KLL(1 << 17)
     import numpy as np
     edges = np.array([sko.quantile(i / 10) for i in range(1, 10)])
     co = sko.bucket_counts(edges)
@@ -1480,6 +1491,20 @@ def q_multimodal_bmp_stats(spark, sf_dir):
     return M.bmp_pixel_stats(media).orderBy("media_id")
 
 
+def q_multimodal_png_stats(spark, sf_dir):
+    """REAL compressed-image decode (round 4, closing the codec gap as
+    far as the sandbox allows): genuine zlib-compressed truecolor PNG
+    payloads — CRC-correct chunks, scanline filters cycling through all
+    five PNG filter types — decoded back inside mapInPandas (chunk
+    walk + CRC verify + DEFLATE inflate + full unfilter) to integer
+    channel sums. The closed pixel form makes the DuckDB oracle a
+    strict gate over real compressed-format decoding."""
+    from sketchlib import multimodal as M
+    _ensure_shipped(spark)
+    media = M.synthetic_png_media(spark, 150, seed=42, partitions=8)
+    return M.png_pixel_stats(media).orderBy("media_id")
+
+
 def q_pricing_summary(spark, sf_dir):
     """agg breadth (TPC-H Q1 shape) with exact decimal arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2096,62 +2121,20 @@ def q_timetravel_cm_user_freq(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate walks this dict in
-    # order and may truncate (r2 stopped at 50 of 93).  Entries with no
-    # driver-verified CORRECTNESS row in rounds 1-2 are listed FIRST so
-    # a truncated run still covers them; previously-green entries follow.
+    # order and truncates at ~50 (r2 and r3 both stopped at 50). Round-4
+    # rotation: the FIRST 50 are exactly the entries with NO green row
+    # in CORRECTNESS_r03 — leading with the three that have never had a
+    # green driver row in any round (user_sessions, ann_lsh_topk,
+    # multimodal_features) plus the new round-4 query — so a 50-query
+    # r4 truncation certifies everything r3 did not.  The 50 r3-green
+    # entries follow.
     return {
-        # --- never driver-checked before round 3 ---
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "repetition_stats": q_repetition_stats,
-        "pii_scan": q_pii_scan,
-        "domain_stats": q_domain_stats,
-        "training_mix": q_training_mix,
-        "dsir_select": q_dsir_select,
-        "lm_scores": q_lm_scores,
-        "pack_manifest": q_pack_manifest,
-        "curation_pipeline": q_curation_pipeline,
-        "fd_gram_embeddings": q_fd_gram_embeddings,
-        "fd_gram_per_label": q_fd_gram_per_label,
-        "export_shards": q_export_shards,
-        "profile_orders": q_profile_orders,
-        "weighted_sample_orders": q_weighted_sample_orders,
-        "stratified_sample_events": q_stratified_sample_events,
-        "join_size_countsketch": q_join_size_countsketch,
-        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
-        "skew_join_priority": q_skew_join_priority,
-        "bloom_antijoin_lineitem": q_bloom_antijoin_lineitem,
-        "range_buckets_price": q_range_buckets_price,
-        "range_buckets_per_type": q_range_buckets_per_type,
-        "event_transitions": q_event_transitions,
-        "event_trigrams": q_event_trigrams,
-        "cm_decayed_user_freq": q_cm_decayed_user_freq,
-        "decayed_top_users": q_decayed_top_users,
-        "decayed_sample_events": q_decayed_sample_events,
-        "decayed_top_users_per_type": q_decayed_top_users_per_type,
-        "decayed_quantiles_value": q_decayed_quantiles_value,
-        "range_join_ship_window": q_range_join_ship_window,
-        "asof_join_error_click": q_asof_join_error_click,
-        "hll_rollup_docs": q_hll_rollup_docs,
-        "hll_cube_docs": q_hll_cube_docs,
-        "incremental_cm_user_freq": q_incremental_cm_user_freq,
-        "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
-        "multimodal_wav_stats": q_multimodal_wav_stats,
-        "cs_fold_event_freq": q_cs_fold_event_freq,
-        "cm_packed_user_freq": q_cm_packed_user_freq,
-        "multimodal_bmp_stats": q_multimodal_bmp_stats,
-        "bm25_topk_docs": q_bm25_topk_docs,
-        "budget_select_docs": q_budget_select_docs,
-        # --- driver-green in round 1 and/or 2 ---
-        "cm_event_type_freq": q_cm_event_type_freq,
-        "cm_conservative_user_freq": q_cm_conservative_user_freq,
-        "cmm_user_freq": q_cmm_user_freq,
-        "occm_user_freq": q_occm_user_freq,
-        "countsketch_event_freq": q_countsketch_event_freq,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "heavy_hitter_events_hk": q_heavy_hitter_events_hk,
-        "cbf_user_freq": q_cbf_user_freq,
-        "cml_user_freq": q_cml_user_freq,
-        "cs4w_user_freq": q_cs4w_user_freq,
+        # --- never driver-green in any round + new this round ---
+        "user_sessions": q_user_sessions,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_png_stats": q_multimodal_png_stats,
+        # --- driver-green in r1/r2 but not sampled in r3 ---
         "wmh_weighted_jaccard_langs": q_wmh_weighted_jaccard_langs,
         "filterhll_repeated_shingles": q_filterhll_repeated_shingles,
         "cm_intersect_user_freq": q_cm_intersect_user_freq,
@@ -2192,15 +2175,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "semdedup": q_semdedup,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "doc_fingerprints": q_doc_fingerprints,
-        "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
         "top_customers_window": q_top_customers_window,
-        "user_sessions": q_user_sessions,
+        # --- driver-green in round 3 ---
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
+        "domain_stats": q_domain_stats,
+        "training_mix": q_training_mix,
+        "dsir_select": q_dsir_select,
+        "lm_scores": q_lm_scores,
+        "pack_manifest": q_pack_manifest,
+        "curation_pipeline": q_curation_pipeline,
+        "fd_gram_embeddings": q_fd_gram_embeddings,
+        "fd_gram_per_label": q_fd_gram_per_label,
+        "export_shards": q_export_shards,
+        "profile_orders": q_profile_orders,
+        "weighted_sample_orders": q_weighted_sample_orders,
+        "stratified_sample_events": q_stratified_sample_events,
+        "join_size_countsketch": q_join_size_countsketch,
+        "bloom_semijoin_lineitem": q_bloom_semijoin_lineitem,
+        "skew_join_priority": q_skew_join_priority,
+        "bloom_antijoin_lineitem": q_bloom_antijoin_lineitem,
+        "range_buckets_price": q_range_buckets_price,
+        "range_buckets_per_type": q_range_buckets_per_type,
+        "event_transitions": q_event_transitions,
+        "event_trigrams": q_event_trigrams,
+        "cm_decayed_user_freq": q_cm_decayed_user_freq,
+        "decayed_top_users": q_decayed_top_users,
+        "decayed_sample_events": q_decayed_sample_events,
+        "decayed_top_users_per_type": q_decayed_top_users_per_type,
+        "decayed_quantiles_value": q_decayed_quantiles_value,
+        "range_join_ship_window": q_range_join_ship_window,
+        "asof_join_error_click": q_asof_join_error_click,
+        "hll_rollup_docs": q_hll_rollup_docs,
+        "hll_cube_docs": q_hll_cube_docs,
+        "incremental_cm_user_freq": q_incremental_cm_user_freq,
+        "timetravel_cm_user_freq": q_timetravel_cm_user_freq,
+        "multimodal_wav_stats": q_multimodal_wav_stats,
+        "cs_fold_event_freq": q_cs_fold_event_freq,
+        "cm_packed_user_freq": q_cm_packed_user_freq,
+        "multimodal_bmp_stats": q_multimodal_bmp_stats,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "budget_select_docs": q_budget_select_docs,
+        "cm_event_type_freq": q_cm_event_type_freq,
+        "cm_conservative_user_freq": q_cm_conservative_user_freq,
+        "cmm_user_freq": q_cmm_user_freq,
+        "occm_user_freq": q_occm_user_freq,
+        "countsketch_event_freq": q_countsketch_event_freq,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "heavy_hitter_events_hk": q_heavy_hitter_events_hk,
+        "cbf_user_freq": q_cbf_user_freq,
+        "cml_user_freq": q_cml_user_freq,
+        "cs4w_user_freq": q_cs4w_user_freq,
     }
 
 
@@ -2891,6 +2922,23 @@ sc AS (SELECT tf.doc_id,
        GROUP BY 1)
 SELECT doc_id, FLOOR(score * 1e4) / 1e4 AS score
 FROM sc ORDER BY 2 DESC, 1 LIMIT 20"""),
+        "multimodal_png_stats": ("""WITH m AS (SELECT i, 4 + (i * 7) % 29 AS w, 2 + (i * 5) % 17 AS h
+           FROM range(150) t(i)),
+px AS (SELECT m.i, m.w, m.h,
+              (m.i * 29 + ys.y * 11 + xs.x * 19 + 0 * 73 + 42) % 256 AS r,
+              (m.i * 29 + ys.y * 11 + xs.x * 19 + 1 * 73 + 42) % 256 AS g,
+              (m.i * 29 + ys.y * 11 + xs.x * 19 + 2 * 73 + 42) % 256 AS b
+       FROM m,
+            LATERAL (SELECT unnest(range(m.h)) AS y) ys,
+            LATERAL (SELECT unnest(range(m.w)) AS x) xs)
+SELECT i AS media_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(MAX(30 * r + 59 * g + 11 * b) AS BIGINT) AS max_luma_x100
+FROM px GROUP BY i ORDER BY media_id"""),
         "multimodal_bmp_stats": ("""WITH m AS (SELECT i, 4 + (i * 3) % 29 AS w, 2 + (i * 5) % 17 AS h
            FROM range(150) t(i)),
 px AS (SELECT m.i, m.w, m.h,

@@ -271,6 +271,12 @@ def pairwise_grouped(grouped: DataFrame,
     cols = grouped.columns
     if "sketch" not in cols:
         raise ValueError("grouped must have a 'sketch' binary column")
+    # grouped feeds three legs below (keys projection + two blob
+    # attaches); without a persist Catalyst re-runs the expensive
+    # applyInPandas grouped build up to 3x (round-3 ADVICE).  Bounded
+    # registry, so repeated calls don't accumulate cache forever.
+    from sketchlib.cache import scoped_persist
+    grouped = scoped_persist(grouped)
     block_cols = list(block_cols)
     if key_col is None:
         rest = [c for c in cols

@@ -87,11 +87,14 @@ def select_within_budget(scored: DataFrame, budget: int,
         pdf["pid"] = pid
         yield pdf
 
-    from pyspark import StorageLevel
-    local = rp.mapInPandas(
+    from sketchlib.cache import scoped_persist
+
+    # scoped_persist: scanned twice (totals collect + final plan); the
+    # bounded registry prevents unbounded cache accumulation across
+    # repeated calls in a long-lived session (round-3 ADVICE).
+    local = scoped_persist(rp.mapInPandas(
         local_cumsum,
-        schema="id long, q double, t long, local_cum long, pid int") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        schema="id long, q double, t long, local_cum long, pid int"))
     # |partitions| scalar totals -> exclusive prefix offsets (driver
     # folds P numbers, bounded at any data scale); the range
     # partitioner orders partitions by the same (q desc, id) key the

@@ -228,6 +228,179 @@ def bmp_pixel_stats(df: DataFrame) -> DataFrame:
                "sum_g long, sum_b long, max_luma_x100 long")
 
 
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (RFC 2083 §6.6), vectorized over channels."""
+    p = a.astype(np.int64) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c)).astype(np.int64)
+
+
+def synthetic_png_media(spark: SparkSession, n: int, seed: int = 42,
+                        partitions: int = 8) -> DataFrame:
+    """REAL PNG payloads (8-bit truecolor RGB, zlib-compressed IDAT,
+    CRC-correct chunks) built with stdlib struct + zlib + numpy — the
+    compressed-format sibling of :func:`synthetic_bmp_media` (round-4
+    codec-gap closure: PNG's DEFLATE stream is the one compressed
+    format decodable with the stdlib alone). Scanline filters CYCLE
+    through all five PNG filter types (``filter(i, y) = (i + y) % 5``)
+    so the decoder's unfilter logic — not just the zlib call — is
+    genuinely exercised. Pixels follow a closed arithmetic form so an
+    independent engine reproduces the decoded channel sums exactly:
+
+        w(i) = 4 + (i * 7) % 29
+        h(i) = 2 + (i * 5) % 17
+        channel c of pixel (x, y) of image i =
+            (i * 29 + y * 11 + x * 19 + c * 73 + seed) % 256
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (_struct.pack(">I", len(data)) + tag + data
+                + _struct.pack(">I", _zlib.crc32(tag + data)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w = 4 + (i * 7) % 29
+                h = 2 + (i * 5) % 17
+                y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                      np.arange(3), indexing="ij")
+                px = ((i * 29 + y * 11 + x * 19 + c * 73 + seed)
+                      % 256).astype(np.int64)
+                raw = px.reshape(h, w * 3)
+                prior = np.zeros(w * 3, dtype=np.int64)
+                out = bytearray()
+                for r in range(h):
+                    row = raw[r]
+                    left = np.concatenate([[0, 0, 0], row[:-3]])
+                    ul = np.concatenate([[0, 0, 0], prior[:-3]])
+                    f = (i + r) % 5
+                    if f == 0:
+                        filt = row
+                    elif f == 1:
+                        filt = row - left
+                    elif f == 2:
+                        filt = row - prior
+                    elif f == 3:
+                        filt = row - (left + prior) // 2
+                    else:
+                        filt = row - _paeth(left, prior, ul)
+                    out.append(f)
+                    out.extend((filt % 256).astype(np.uint8).tobytes())
+                    prior = row
+                ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payload = (b"\x89PNG\r\n\x1a\n"
+                           + chunk(b"IHDR", ihdr)
+                           + chunk(b"IDAT", _zlib.compress(bytes(out), 6))
+                           + chunk(b"IEND", b""))
+                rows.append({"media_id": i, "kind": "image",
+                             "payload": payload, "mime": "image/png",
+                             "width": w, "height": h, "duration_ms": None})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL decode of 8-bit truecolor PNG payloads — stdlib zlib +
+    struct + numpy, no imaging library: chunk walk with CRC
+    verification, DEFLATE inflate of the IDAT stream, and full
+    scanline UNFILTERING for all five PNG filter types (None / Sub /
+    Up / Average / Paeth, RFC 2083 §6) — in one mapInPandas pass to
+    integer per-channel statistics ``(media_id, width, height, sum_r,
+    sum_g, sum_b, max_luma_x100)``. Integer outputs strict-gate
+    against a DuckDB oracle that re-derives every pixel
+    arithmetically, so the zlib round-trip AND the unfilter math are
+    both inside the gate."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def decode(raw: bytes) -> tuple[int, int, np.ndarray]:
+        if raw[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos, w = 8, None
+        idat = bytearray()
+        while pos < len(raw):
+            (ln,) = _struct.unpack_from(">I", raw, pos)
+            tag = raw[pos + 4:pos + 8]
+            data = raw[pos + 8:pos + 8 + ln]
+            (crc,) = _struct.unpack_from(">I", raw, pos + 8 + ln)
+            if _zlib.crc32(tag + data) != crc:
+                raise ValueError(f"bad CRC in {tag!r} chunk")
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, ilace = _struct.unpack(
+                    ">IIBBBBB", data)
+                if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                    raise NotImplementedError(
+                        "only 8-bit truecolor non-interlaced PNG here")
+            elif tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None:
+            raise ValueError("missing IHDR")
+        flat = np.frombuffer(_zlib.decompress(bytes(idat)),
+                             dtype=np.uint8).astype(np.int64)
+        stride = w * 3
+        if flat.size != h * (stride + 1):
+            raise ValueError("IDAT size mismatch")
+        lines = flat.reshape(h, stride + 1)
+        out = np.zeros((h, stride), dtype=np.int64)
+        prior = np.zeros(stride, dtype=np.int64)
+        for r in range(h):
+            f, filt = int(lines[r, 0]), lines[r, 1:]
+            if f == 0:
+                row = filt.copy()
+            elif f == 2:
+                row = (filt + prior) % 256
+            else:
+                # Sub/Average/Paeth depend on the decoded left pixel:
+                # sequential over pixels, vectorized over channels
+                row = np.zeros(stride, dtype=np.int64)
+                for k in range(0, stride, 3):
+                    a = row[k - 3:k] if k else np.zeros(3, dtype=np.int64)
+                    b = prior[k:k + 3]
+                    c = (prior[k - 3:k] if k
+                         else np.zeros(3, dtype=np.int64))
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    elif f == 4:
+                        pred = _paeth(a, b, c)
+                    else:
+                        raise ValueError(f"bad filter type {f}")
+                    row[k:k + 3] = (filt[k:k + 3] + pred) % 256
+            out[r] = row
+            prior = row
+        return w, h, out.reshape(h, w, 3)
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode(bytes(payload))
+                luma = (30 * rgb[..., 0] + 59 * rgb[..., 1]
+                        + 11 * rgb[..., 2])
+                out.append({"media_id": int(mid), "width": int(w),
+                            "height": int(h),
+                            "sum_r": int(rgb[..., 0].sum()),
+                            "sum_g": int(rgb[..., 1].sum()),
+                            "sum_b": int(rgb[..., 2].sum()),
+                            "max_luma_x100": int(luma.max())})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        per_batch,
+        schema="media_id long, width long, height long, sum_r long, "
+               "sum_g long, sum_b long, max_luma_x100 long")
+
+
 def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB decoder: deterministic pseudo-features — feature j is the
     sum of payload bytes at positions ``k ≡ j (mod dim)`` (a strided

@@ -35,18 +35,20 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
                 id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, score) for every document matching >= 1 query term."""
-    from pyspark import StorageLevel
-
+    from sketchlib.cache import scoped_persist
     from sketchlib.dedup import normalized_tokens
 
     terms = list(query_terms)
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     toks = normalized_tokens(docs, id_col=id_col, text_col=text_col) \
         .select(id_col, "token")
-    per_doc = (toks.groupBy(id_col).agg(
+    # scoped_persist: scanned by both the stats aggregate and the final
+    # scoring plan; bounded registry per round-3 ADVICE
+    per_doc = scoped_persist(toks.groupBy(id_col).agg(
         F.count("*").alias("dl"),
         *[F.count(F.when(F.col("token") == t, 1)).alias(f"tf_{i}")
-          for i, t in enumerate(terms)])
-        .persist(StorageLevel.MEMORY_AND_DISK))
+          for i, t in enumerate(terms)]))
     stats = per_doc.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
         *[F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"dft_{i}")

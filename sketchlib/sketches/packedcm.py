@@ -71,6 +71,11 @@ class PackedVector:
         """Scatter ``vals`` into fields at unique ``idx`` (fields may
         share words — handled via ufunc.at read-modify-write)."""
         idx = np.asarray(idx).ravel()
+        # duplicate idx would silently merge bits of both writes into
+        # one field (two bitwise_or into the same word region); cheap
+        # debug-only guard, internal callers are unique by construction
+        assert idx.size == np.unique(idx).size, \
+            "PackedVector.set requires unique idx"
         vals = (np.asarray(vals, dtype=_U64).ravel() & self.mask)
         w0, off = self._split(idx)
         np.bitwise_and.at(self.words, w0, ~(self.mask << off))
