@@ -237,8 +237,8 @@ def pairwise_grouped(grouped: DataFrame,
                      block_cols: list[str] | tuple = (),
                      pair_filter=None,
                      num_partitions: int | None = None,
-                     deser: Callable[[bytes], object] = deserialize
-                     ) -> DataFrame:
+                     deser: Callable[[bytes], object] = deserialize,
+                     max_pairs: int = 2_000_000) -> DataFrame:
     """Distributed pairwise comparison over a grouped sketch-blob table
     ``(key..., sketch binary)``: one output row per unordered pair
     ``key_a < key_b`` (within each ``block_cols`` stratum), columns
@@ -265,6 +265,12 @@ def pairwise_grouped(grouped: DataFrame,
     group counts callers must bound it with ``block_cols`` (compare
     only within a stratum, e.g. LSH bucket / estimator name) and/or
     ``pair_filter``; that is a semantic choice the helper can't make.
+    ``max_pairs`` enforces it (round-4 scale guard): when the
+    unfiltered per-stratum pair count exceeds it, the call FAILS with
+    guidance unless a ``pair_filter`` brings the actual pair count
+    back under the cap (verified by a keys-only count — no blob ever
+    moves first). An accidental all-pairs enumeration at 10^5 groups
+    (~5*10^9 pairs) is therefore an immediate error, not a hung job.
     """
     from pyspark.sql import functions as F
 
@@ -298,6 +304,32 @@ def pairwise_grouped(grouped: DataFrame,
           .drop(*[f"__b_{c}" for c in block_cols]))
     if pair_filter is not None:
         kp = kp.filter(pair_filter)
+
+    # scale guard: bound the materialized pair set BEFORE any blob
+    # moves. Per-stratum group counts are one cheap agg over the
+    # keys-only projection; the exact filtered count is only computed
+    # when the unfiltered bound already exceeds the cap.
+    if max_pairs is not None:
+        strata = (keys.groupBy(*block_cols).agg(F.count("*").alias("n"))
+                  if block_cols else
+                  keys.agg(F.count("*").alias("n")))
+        worst = int(strata.agg(F.sum(
+            F.col("n") * (F.col("n") - 1) / 2).alias("p")).collect()[0]["p"]
+            or 0)
+        if worst > max_pairs:
+            if pair_filter is None:
+                raise ValueError(
+                    f"pairwise_grouped would enumerate ~{worst:,} pairs "
+                    f"(> max_pairs={max_pairs:,}); bound the pair set "
+                    "with block_cols (compare within strata) and/or "
+                    "pair_filter, or raise max_pairs explicitly if you "
+                    "really want an all-pairs run")
+            actual = kp.count()
+            if actual > max_pairs:
+                raise ValueError(
+                    f"pairwise_grouped pair_filter still keeps "
+                    f"{actual:,} pairs (> max_pairs={max_pairs:,}); "
+                    "tighten the filter/blocking or raise max_pairs")
 
     blob_a = grouped.select(*block_cols, F.col(key_col).alias("key_a"),
                             F.col("sketch").alias("__sk_a"))

@@ -17,6 +17,15 @@ any kernel runs), the estimate is exactly the largest power of two
 strict SQL oracle. With partition-local weights the estimate
 under-counts by at most one layer per OR-merge, mirroring the
 reference's merge behavior.
+
+``probabilistic=True`` (round-4, opt-in) restores the reference's
+promotion coin (cbf.h:58-70): each occurrence walks the cascade while
+contained and, at the first non-containing layer ``d``, inserts with
+probability ``2^-d`` — successes cascade to the next layer within the
+same occurrence, exactly like the reference's FOREVER loop. Coins come
+from a counter-based splitmix64 stream keyed on (seed, value, epoch),
+so a seeded run replays bit-stably; geometric jumps consume w
+occurrences in O(promotions). The driver query stays deterministic.
 """
 
 from __future__ import annotations
@@ -34,11 +43,14 @@ class CountingBloom:
     MAGIC = b"SKCB"
 
     def __init__(self, p: int = 18, nh: int = 4, n_layers: int = 24,
-                 seed: int = 137, words: np.ndarray | None = None):
+                 seed: int = 137, words: np.ndarray | None = None,
+                 probabilistic: bool = False):
         self.p = p
         self.nh = nh
         self.n_layers = n_layers
         self.seed = seed
+        self.probabilistic = probabilistic
+        self._epoch = 0  # per-call coin-stream salt (see cml.py)
         self.m = 1 << p
         # one seed row per (layer, hash): layer l uses seeds[l*nh:(l+1)*nh]
         self.seeds = derive_seeds(seed, n_layers * nh)[:n_layers * nh] \
@@ -80,12 +92,43 @@ class CountingBloom:
         vals, counts = vals[keep], counts[keep]
         if vals.size == 0:
             return
+        if self.probabilistic:
+            self._update_probabilistic(vals, counts)
+            return
         top = np.floor(np.log2(counts)).astype(np.int64)
         top = np.minimum(top, self.n_layers - 1)
         for layer in range(int(top.max()) + 1):
             sel = vals[top >= layer]
             if sel.size:
                 self._set(layer, sel)
+
+    def _update_probabilistic(self, vals, counts) -> None:
+        """Reference promotion walk (cbf.h:58-70): the occurrence that
+        inserts an absent value into layer 0 returns immediately; every
+        later occurrence flips an INDEPENDENT 2^-l coin at each
+        non-containing layer l it walks past (the FOREVER loop
+        continues whether or not a coin fires). Since a layer keeps
+        receiving one coin per occurrence until it is set, each layer's
+        first-success time is an independent Geometric(2^-l) — so the
+        whole weighted update is one geometric draw per layer, exact,
+        no per-occurrence loop."""
+        from sketchlib.prng import CounterRNG
+        self._epoch += 1
+        ep = self._epoch * 0x1000003
+        for j in range(vals.size):
+            v1 = vals[j:j + 1]
+            w = int(counts[j])
+            rng = CounterRNG(self.seed + ep, int(vals[j]))
+            d = 0
+            if not self._contains(0, v1):
+                if w == 0:
+                    continue
+                self._set(0, v1)
+                d, w = 1, w - 1
+            for layer in range(d, self.n_layers):
+                if not self._contains(layer, v1) \
+                        and rng.geometric(2.0 ** -layer) <= w:
+                    self._set(layer, v1)
 
     def estimate(self, vals: np.ndarray) -> np.ndarray:
         """2^(d-1) for d consecutive leading layers containing the

@@ -21,6 +21,16 @@ build reproducible (same partitioning => same sketch) at the cost of
 replacing the randomized decay with its expectation; the top-k recall
 guarantee direction is preserved and is property-tested on Zipf data.
 
+``probabilistic=True`` (round-4, opt-in) restores the reference's
+randomized decay (hk.h:147-151, 168-207): each mismatched occurrence
+decays the incumbent with probability ``b^-count``; the decrement that
+empties a cell claims it with count 1 (consuming that occurrence), and
+the remaining occurrences then increment as fingerprint matches. Coins
+come from a counter-based splitmix64 stream keyed on (seed, row,
+value, epoch) — seeded replay is bit-stable — and geometric jumps
+consume w occurrences in O(decrements). The driver query stays on the
+deterministic strict-gated path.
+
 The intended usage at scale: per-partition HK partials + local
 candidate heaps -> merge blobs -> probe candidates -> exact recount of
 the selected top-k. The first pass shuffles O(partitions) blobs and
@@ -46,11 +56,14 @@ class HeavyKeeper:
     def __init__(self, np_bits: int = 12, nh: int = 4, seed: int = 137,
                  decay_b: float = 1.08,
                  fps: np.ndarray | None = None,
-                 cnts: np.ndarray | None = None):
+                 cnts: np.ndarray | None = None,
+                 probabilistic: bool = False):
         self.np_bits = np_bits
         self.nh = nh
         self.seed = seed
         self.decay_b = decay_b
+        self.probabilistic = probabilistic
+        self._epoch = 0  # per-call coin-stream salt (see cml.py)
         self.w = 1 << np_bits
         self.seeds = derive_seeds(seed, nh)[:nh]
         self.fps = fps if fps is not None \
@@ -82,6 +95,10 @@ class HeavyKeeper:
             return
         pos, fp = self._pos_fp(vals)
         b = self.decay_b
+        if self.probabilistic:
+            from sketchlib.prng import CounterRNG
+            self._epoch += 1
+            ep = self._epoch * 0x1000003
         for i in range(self.nh):
             frow = self.fps[i]
             crow = self.cnts[i]
@@ -95,6 +112,30 @@ class HeavyKeeper:
                     crow[p] = int(w)
                 elif frow[p] == f_i[j]:
                     crow[p] = cur + int(w)
+                elif self.probabilistic:
+                    # randomized reference decay (hk.h:168-207): each
+                    # occurrence decays w.p. b^-cur; geometric jumps
+                    rng = CounterRNG(self.seed + i + ep, int(vals[j]))
+                    w = int(w)
+                    while w > 0 and cur > 0:
+                        pdec = b ** -cur if cur < 700 else 0.0
+                        if pdec <= 0.0:
+                            w = 0
+                            break
+                        g = rng.geometric(pdec)
+                        if g > w:
+                            w = 0
+                            break
+                        w -= g
+                        cur -= 1
+                    if cur == 0:
+                        # the emptying decrement claims the cell with
+                        # count 1 (consumes its occurrence); the rest
+                        # land as fingerprint matches
+                        frow[p] = f_i[j]
+                        crow[p] = 1 + w
+                    else:
+                        crow[p] = cur
                 else:
                     # expected-decay accounting: one decrement costs
                     # b^count attempts; spend the budget of w attempts

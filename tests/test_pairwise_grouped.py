@@ -100,11 +100,23 @@ def test_scale_10k_groups_no_driver_collect(spark):
         _groups_df(spark, n_groups, blocks=blocks), ["blk", "gid"], "kh",
         partial(MinHashBottomK, 64), pre_distinct=True)
 
-    def _poisoned(self, *a, **k):  # pragma: no cover - must not run
-        raise AssertionError("driver collect on the pairwise path")
-
     saved = (DataFrame.collect, DataFrame.toPandas, DataFrame.take)
-    DataFrame.collect = DataFrame.toPandas = DataFrame.take = _poisoned
+
+    def _poison(orig):
+        def guard(self, *a, **k):
+            # scalar collects (pure aggregates, e.g. the round-4 pair
+            # count guard) are legitimate driver work; what must never
+            # happen is a blob column funneling through the driver
+            if any(f.dataType.simpleString() == "binary"
+                   for f in self.schema):
+                raise AssertionError(
+                    "driver collect of sketch blobs on the pairwise path")
+            return orig(self, *a, **k)
+        return guard
+
+    DataFrame.collect = _poison(saved[0])
+    DataFrame.toPandas = _poison(saved[1])
+    DataFrame.take = _poison(saved[2])
     try:
         out = pairwise_grouped(grouped, _cmp_j, "j double",
                                key_col="gid", block_cols=["blk"],
@@ -129,3 +141,31 @@ def test_scale_10k_groups_no_driver_collect(spark):
     # `blocks` apart so sets {g..g+9} never overlap => every j == 0
     sample = out.filter(F.col("blk") == 7).limit(5).collect()
     assert sample and all(r["j"] == 0.0 for r in sample)
+
+
+def test_scale_guard_rejects_unfiltered_100k_groups(spark):
+    """Round-4 scale guard (VERDICT item 6): an UNFILTERED all-pairs
+    call at 10^5 groups (~5*10^9 pairs) must fail fast with guidance —
+    before any blob moves or any pair is enumerated — instead of
+    launching an unbounded enumeration."""
+    n = 100_000
+    grouped = (spark.range(n)
+               .select(F.col("id").alias("gid"),
+                       F.encode(F.lit("x"), "utf-8").alias("sketch")))
+    with pytest.raises(ValueError, match="block_cols.*pair_filter"
+                       "|pair_filter.*block_cols|max_pairs"):
+        pairwise_grouped(grouped, _cmp_j, "j double", key_col="gid")
+
+
+def test_scale_guard_filtered_100k_groups_allowed(spark):
+    """The same 10^5-group table IS allowed when a pair_filter bounds
+    the materialized pair set (here: pairs touching gid 0 only), and
+    when blocking keeps strata small — the documented scale shapes."""
+    n = 100_000
+    grouped = (spark.range(n)
+               .select(F.col("id").alias("gid"),
+                       F.encode(F.lit("x"), "utf-8").alias("sketch")))
+    out = pairwise_grouped(grouped, lambda a, b: (1.0,), "j double",
+                           key_col="gid", deser=bytes,
+                           pair_filter=(F.col("key_a") == 0))
+    assert out.count() == n - 1
