@@ -287,3 +287,10 @@ def test_psi_drift_grouped_build_single_events_scan(spark):
     plan = _plan(grouped)
     # count detail-section scan nodes, not tree-diagram lines
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_multimodal_gif_zero_exchange_pipeline(spark):
+    from sketchlib.multimodal import gif_pixel_stats, synthetic_gif_media
+    df = gif_pixel_stats(synthetic_gif_media(spark, 16, partitions=4))
+    plan = _plan(df)
+    assert "Exchange" not in plan
