@@ -285,7 +285,7 @@ def q_wmh_weighted_jaccard_langs(spark, sf_dir):
                                      _p(CountingMinHash, 1 << 17),
                                      salt_buckets=8, pre_aggregate=True)
     return (pairwise_grouped(grouped, _cmp_wjaccard, "wjaccard double",
-                             key_col="lang")
+                             key_col="lang", n_groups_hint=8)
             .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"})
             .orderBy("lang_a", "lang_b"))
 
@@ -442,7 +442,7 @@ def q_kll_ks_drift_langs(spark, sf_dir):
                                      salt_buckets=4)
     pf = (F.col("key_a") == "en") | (F.col("key_b") == "en")
     pw = pairwise_grouped(grouped, _cmp_ks, "ks double", key_col="lang",
-                          pair_filter=pf)
+                          pair_filter=pf, n_groups_hint=8)
     return (pw.select(F.when(F.col("key_a") == "en", F.col("key_b"))
                       .otherwise(F.col("key_a")).alias("lang"), "ks")
             .orderBy("lang"))
@@ -567,7 +567,8 @@ def q_hll_setops_langs(spark, sf_dir):
     # pairwise set ops computed distributed (pairwise_grouped): the
     # union/joint-MLE runs on executors per pair, no blob collect
     est = (pairwise_grouped(grouped, _cmp_hll_setops,
-                            "est_u double, est_i double", key_col="lang")
+                            "est_u double, est_i double", key_col="lang",
+                            n_groups_hint=8)
            .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"}))
     exact = _pairwise_exact_sets(with_lang)
     bound = F.lit(_HLL_BOUND) * F.col("n_union")
@@ -596,7 +597,7 @@ def q_minhash_jaccard_langs(spark, sf_dir):
                                      _p(MinHashBottomK, 1 << 17),
                                      salt_buckets=8, pre_distinct=True)
     return (pairwise_grouped(grouped, _cmp_mh_jaccard, "jaccard double",
-                             key_col="lang")
+                             key_col="lang", n_groups_hint=8)
             .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"})
             .orderBy("lang_a", "lang_b"))
 
@@ -619,7 +620,7 @@ def q_minhash_setdiff_langs(spark, sf_dir):
     return (pairwise_grouped(grouped, _cmp_mh_setdiff,
                              "n_union bigint, n_inter bigint, "
                              "n_only_a bigint, n_only_b bigint",
-                             key_col="lang")
+                             key_col="lang", n_groups_hint=8)
             .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"})
             .orderBy("lang_a", "lang_b"))
 
@@ -786,7 +787,8 @@ def q_setsim_siblings_langs(spark, sf_dir):
                                            factories, salt_buckets=8,
                                            pre_distinct=True)
     est = (pairwise_grouped(grouped, _cmp_jaccard, "j double",
-                            key_col="lang", block_cols=["name"])
+                            key_col="lang", block_cols=["name"],
+                            n_groups_hint=8)
            .withColumnsRenamed({"name": "estimator",
                                 "key_a": "lang_a", "key_b": "lang_b"}))
     exact = _pairwise_exact_sets(with_lang)
@@ -826,7 +828,7 @@ def q_cws_weighted_sim_langs(spark, sf_dir):
     sigtab = counts.groupBy("lang").applyInPandas(
         sig, "lang string, sketch binary")
     est = (pairwise_grouped(sigtab, _cmp_cws, "j double", key_col="lang",
-                            deser=_cws_deser)
+                            deser=_cws_deser, n_groups_hint=8)
            .withColumnsRenamed({"key_a": "lang_a", "key_b": "lang_b"}))
     # sum over the union support of max(ca,cb) = tot_a + tot_b -
     # sum(min) (missing tokens contribute min 0), so the exact weighted

@@ -238,7 +238,8 @@ def pairwise_grouped(grouped: DataFrame,
                      pair_filter=None,
                      num_partitions: int | None = None,
                      deser: Callable[[bytes], object] = deserialize,
-                     max_pairs: int = 2_000_000) -> DataFrame:
+                     max_pairs: int = 2_000_000,
+                     n_groups_hint: int | None = None) -> DataFrame:
     """Distributed pairwise comparison over a grouped sketch-blob table
     ``(key..., sketch binary)``: one output row per unordered pair
     ``key_a < key_b`` (within each ``block_cols`` stratum), columns
@@ -271,6 +272,13 @@ def pairwise_grouped(grouped: DataFrame,
     back under the cap (verified by a keys-only count — no blob ever
     moves first). An accidental all-pairs enumeration at 10^5 groups
     (~5*10^9 pairs) is therefore an immediate error, not a hung job.
+    ``n_groups_hint`` lets a caller that KNOWS its group count (e.g.
+    the per-language queries: 4 langs) skip the guard's count job when
+    ``hint*(hint-1)/2 <= max_pairs`` — the count job is trivial at
+    scale but is a fixed extra Spark job a 1-second query shouldn't
+    pay. The hint is an upper bound on total group rows; an honest
+    hint is the caller's contract (a wrong huge-understating hint
+    reintroduces the unbounded enumeration the guard exists to stop).
     """
     from pyspark.sql import functions as F
 
@@ -309,6 +317,9 @@ def pairwise_grouped(grouped: DataFrame,
     # moves. Per-stratum group counts are one cheap agg over the
     # keys-only projection; the exact filtered count is only computed
     # when the unfiltered bound already exceeds the cap.
+    if (max_pairs is not None and n_groups_hint is not None
+            and n_groups_hint * (n_groups_hint - 1) // 2 <= max_pairs):
+        max_pairs = None  # hinted small: no count job needed
     if max_pairs is not None:
         strata = (keys.groupBy(*block_cols).agg(F.count("*").alias("n"))
                   if block_cols else

@@ -18,9 +18,11 @@ BENCH/BASELINE.md.  Exit 0 iff every gate passed AND both health
 probes were CLEAN.
 
 Usage: python tools/round_gate.py [--skip-scaling] [--skip-bench]
-       [--sf-dir DIR]
-Wall-clock budget: ~25 min with everything on (sweeps ~10 min each at
-both sfs combined, bench ~5 min at sf0.1, scaling ~7 min).
+       [--skip-sweeps] [--sf-dir DIR]
+Wall-clock budget: ~40 min with everything on (sweeps ~2.5 min each,
+bench ~3.5 min at sf0.1, scaling ~15-20 min at the 134M-update input).
+Re-runs MERGE into BENCH/round_gate.json: skipped steps keep their
+previous record, so a failed step can be re-run alone.
 """
 
 from __future__ import annotations
@@ -51,14 +53,26 @@ def _run(cmd: list[str], timeout: int, log_name: str,
     except subprocess.TimeoutExpired:
         rc = -9
     out = open(log).read()
+    # last JSON line anywhere in the full log (bench/scaling print one;
+    # the 2000-char tail alone can truncate the ~3kB bench line)
+    json_line = None
+    for line in reversed(out.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                json_line = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+            break
     return {"cmd": " ".join(cmd), "rc": rc, "sec": round(time.time() - t0, 1),
-            "log": os.path.relpath(log, ROOT), "tail": out[-2000:]}
+            "log": os.path.relpath(log, ROOT), "tail": out[-2000:],
+            "json": json_line}
 
 
 def main() -> int:
     args = sys.argv[1:]
     skip_scaling = "--skip-scaling" in args
     skip_bench = "--skip-bench" in args
+    skip_sweeps = "--skip-sweeps" in args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--sf-dir" in args:
         sf_dir = args[args.index("--sf-dir") + 1]
@@ -66,6 +80,13 @@ def main() -> int:
     rec: dict = {"started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                               time.gmtime()),
                  "steps": {}}
+    # merge: a re-run with --skip-* keeps the earlier steps' records
+    prior = f"{ROOT}/BENCH/round_gate.json"
+    if os.path.exists(prior):
+        try:
+            rec["steps"] = json.load(open(prior)).get("steps", {})
+        except json.JSONDecodeError:
+            pass
 
     def step(name, cmd, timeout, env=None):
         print(f"[round_gate] {name}: {' '.join(cmd)}", flush=True)
@@ -76,33 +97,25 @@ def main() -> int:
         return r
 
     h0 = step("health_before", [py, "tools/host_health.py"], 120)
-    step("sweep_sf0.001",
-         [py, "tools/compare_oracle.py", "/root/testdata/sf0.001"], 1800)
-    step("sweep_sf0.01",
-         [py, "tools/compare_oracle.py", "/root/testdata/sf0.01"], 1800)
+    if not skip_sweeps:
+        step("sweep_sf0.001",
+             [py, "tools/compare_oracle.py", "/root/testdata/sf0.001"],
+             1800)
+        step("sweep_sf0.01",
+             [py, "tools/compare_oracle.py", "/root/testdata/sf0.01"],
+             1800)
     if not skip_bench:
         step("bench", [py, "bench.py"], 1800,
              env={"SPARK_GRAFT_SF_DIR": sf_dir})
-        # bench.py prints its JSON line last — lift it into the record
-        for line in reversed(
-                rec["steps"]["bench"]["tail"].strip().splitlines()):
-            if line.startswith("{"):
-                try:
-                    rec["bench_json"] = json.loads(line)
-                except json.JSONDecodeError:
-                    pass
-                break
     if not skip_scaling:
-        s = step("scaling", [py, "tools/bench_scaling.py", "200000", "2"],
-                 1200)
-        for line in s["tail"].strip().splitlines():
-            if line.startswith("{"):
-                try:
-                    rec["scaling_json"] = json.loads(line)
-                except json.JSONDecodeError:
-                    pass
+        step("scaling", [py, "tools/bench_scaling.py", "200000", "2"],
+             2400)
     h1 = step("health_after", [py, "tools/host_health.py"], 120)
 
+    if rec["steps"].get("bench", {}).get("json"):
+        rec["bench_json"] = rec["steps"]["bench"]["json"]
+    if rec["steps"].get("scaling", {}).get("json"):
+        rec["scaling_json"] = rec["steps"]["scaling"]["json"]
     clean = h0["rc"] == 0 and h1["rc"] == 0
     gates_ok = all(r["rc"] == 0 for n, r in rec["steps"].items()
                    if not n.startswith("health"))
