@@ -114,6 +114,31 @@ AUDITED = [
     ("multimodal_wav_stats",
      "real WAV decode: generator and decoder are two chained "
      "mapInPandas over the range scan — a 0-exchange narrow pipeline"),
+    # round-4 additions
+    ("psi_value_drift",
+     "round-4 fix: ONE events scan — both half-KLLs come from a "
+     "single grouped build keyed on the early/late flag (was two "
+     "filtered build_sketch scans); driver work is two blob "
+     "deserializes"),
+    ("setsim_siblings_langs",
+     "estimator panel off ONE grouped pass "
+     "(build_grouped_sketches_multi); pairwise compare stratified by "
+     "estimator name; round 4 persists the grouped blobs so the "
+     "salted build runs once, not 3x"),
+    ("multimodal_png_stats",
+     "real zlib-compressed PNG decode (DEFLATE + CRC walk + all-five-"
+     "filter unfilter) in chained mapInPandas — 0-exchange narrow "
+     "pipeline, codec cost stays inside the Arrow batch kernel"),
+    ("multimodal_gif_stats",
+     "real GIF87a LZW decode (12-bit dict growth, CLEAR resets, "
+     "sub-block reassembly) in chained mapInPandas — same 0-exchange "
+     "shape"),
+    ("profile_orders",
+     "one-scan per-column profiler: melt -> exact panel + HLL "
+     "distinct + KLL quantiles off one cached stream"),
+    ("filterhll_repeated_shingles",
+     "threshold-distinct over shingles: pre-distinct JVM-side, "
+     "grouped sketch build, no driver funnel"),
 ]
 
 
