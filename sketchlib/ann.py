@@ -318,3 +318,181 @@ def ann_topk_ivf(df: DataFrame, queries: DataFrame, k: int,
             .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"]))
     return exact_rerank_topk(cand, df, queries, k, id_col, vec_col)
+
+
+# ----------------------------------------------------------------- PQ
+
+def pq_train(df: DataFrame, m: int = 8, kcent: int = 256,
+             iters: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train a Product Quantizer (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11 — the canonical 100 TB ANN
+    compression): split unit-normalized vectors into ``m`` subspaces
+    and k-means each subspace to ``kcent`` centroids. Returns
+    codebooks ``(m, kcent, dsub)`` float64.
+
+    Fully deterministic: centroids initialize from ``kcent`` vectors
+    STRIDED evenly across the id order (row_number % stride — unlike
+    ivf_train's smallest-id rule, a contiguous id prefix is usually
+    one locality cluster, which starves Lloyd of spread at PQ's much
+    larger kcent); every Lloyd step is order-independent float64.
+    Each iteration is ONE Spark job for
+    ALL subspaces: a mapInPandas pass emits per-batch partial sums
+    ``(sub, cluster, psum, n)`` — at most m*kcent rows per batch — and
+    the driver folds them. Driver traffic O(m * kcent * dsub *
+    partitions) per iteration, corpus-size-independent; at 100 TB
+    train on ``df.sample(...)`` (a quantizer needs ~10^3 points per
+    centroid, not the corpus)."""
+    import pandas as pd
+
+    probe = df.select(vec_col).limit(1).toPandas()
+    dim = len(probe[vec_col].iloc[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    n = df.count()
+    if n < kcent:
+        raise ValueError(f"need >= kcent={kcent} vectors to train")
+    stride = max(n // kcent, 1)
+    w = Window.orderBy(F.col(id_col).asc())
+    init = (df.select(id_col, vec_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") - 1) % stride == 0)
+            .orderBy("__rn").limit(kcent)
+            .select(vec_col).toPandas())
+    X0 = _unit_rows(init[vec_col])
+    if len(X0) < kcent:
+        raise ValueError(f"need >= kcent={kcent} vectors to train")
+    books = np.stack([X0[:, j * dsub:(j + 1) * dsub]
+                      for j in range(m)])            # (m, kcent, dsub)
+
+    for _ in range(iters):
+        B = books
+
+        def part(batches, B=B):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _unit_rows(pdf[vec_col])
+                rows = []
+                for j in range(B.shape[0]):
+                    Xs = X[:, j * dsub:(j + 1) * dsub]
+                    # argmin ||x - c||^2 = argmax (2 x.c - ||c||^2)
+                    d2 = (Xs @ B[j].T) * 2 - np.einsum(
+                        "kd,kd->k", B[j], B[j])[None, :]
+                    a = d2.argmax(axis=1)
+                    for c in np.unique(a):
+                        sel = Xs[a == c]
+                        rows.append((j, int(c), sel.sum(axis=0).tolist(),
+                                     int(len(sel))))
+                yield pd.DataFrame(
+                    rows, columns=["sub", "cluster", "psum", "n"])
+
+        parts = (df.select(vec_col).mapInPandas(
+            part, "sub int, cluster int, psum array<double>, n long")
+            .toPandas())
+        new = books.copy()
+        for (j, c), grp in parts.groupby(["sub", "cluster"]):
+            n = grp["n"].sum()
+            if n:
+                new[j, c] = np.sum(np.stack(
+                    grp["psum"].to_numpy()), axis=0) / n
+        books = new
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode unit-normalized vectors to ``(id, codes array<int>)`` —
+    m codes of 0..kcent-1 each, 8-256x smaller than the raw vectors
+    (the representation that actually fits 10^12 vectors in cluster
+    memory). One mapInPandas pass; codebooks ride the task closure."""
+    import pandas as pd
+
+    m, kcent, dsub = codebooks.shape
+    B = codebooks
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _unit_rows(pdf[vec_col])
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                Xs = X[:, j * dsub:(j + 1) * dsub]
+                d2 = (Xs @ B[j].T) * 2 - np.einsum(
+                    "kd,kd->k", B[j], B[j])[None, :]
+                codes[:, j] = d2.argmax(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "codes": list(codes)})
+
+    return (df.select(id_col, vec_col)
+            .mapInPandas(enc, f"id long, codes array<bigint>")
+            .withColumnsRenamed({"id": id_col}))
+
+
+def ann_topk_pq(codes_df: DataFrame, queries: DataFrame,
+                codebooks: np.ndarray, k: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation (ADC):
+    per query, a ``(m, kcent)`` look-up table of exact
+    query-subvector-to-centroid squared distances; a corpus CODES scan
+    (never the raw vectors) sums m table entries per neighbor. Scale
+    shape: LUTs ride the closure (nq * m * kcent doubles), each Arrow
+    batch emits only its LOCAL top-k per query, and the global cut is
+    a window rank over nq * k * n_batches rows — the corpus never
+    shuffles. Output (query_id, neighbor_id, adc_sim) where adc_sim =
+    1 - dist2/2 (the cosine a unit query would have with the
+    reconstruction), ranked (adc_sim desc, neighbor_id)."""
+    import pandas as pd
+
+    m, kcent, dsub = codebooks.shape
+    qp = queries.select(id_col, vec_col).toPandas()
+    qids = qp[id_col].to_numpy()
+    Q = _unit_rows(qp[vec_col])
+    # LUT[q, j, c] = ||q_j - c_{j,c}||^2 (exact, float64)
+    B = codebooks
+    lut = np.empty((len(qids), m, kcent))
+    for j in range(m):
+        Qs = Q[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = (np.einsum("id,id->i", Qs, Qs)[:, None]
+                        - 2 * (Qs @ B[j].T)
+                        + np.einsum("kd,kd->k", B[j], B[j])[None, :])
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())        # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # dist2[q, n] = sum_j LUT[q, j, codes[n, j]]
+            d2 = np.zeros((len(qids), len(ids)))
+            for j in range(m):
+                d2 += lut[:, j, codes[:, j]]
+            out = []
+            for qi in range(len(qids)):
+                row = d2[qi]
+                # self-exclusion must happen BEFORE the local cut: if
+                # the query's own row wins a local top-k slot, the
+                # batch under-emits real candidates by one (visible
+                # when a query's whole neighborhood lives in one
+                # partition — e.g. cluster-aligned layouts)
+                mask = ids != qids[qi]
+                rm, im = row[mask], ids[mask]
+                keep = np.argsort(rm, kind="stable")[:k]
+                out.append(pd.DataFrame({
+                    "query_id": qids[qi], "neighbor_id": im[keep],
+                    "adc_sim": 1.0 - rm[keep] / 2.0}))
+            yield pd.concat(out, ignore_index=True)
+
+    local = codes_df.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id"))
+    return (local.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk")
+            .orderBy("query_id", F.col("adc_sim").desc(), "neighbor_id"))
