@@ -50,6 +50,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER metadata — replaces
+    the per-query ``df.count()`` capacity probes the strict quantile
+    gates used (one avoidable full-scan job each). Zero Spark jobs."""
+    from sketchlib.storage import parquet_num_rows
+    return parquet_num_rows(f"{sf_dir}/{name}.parquet")
+
+
 # --------------------------------------------------------------------------
 # helpers shared by Spark query and oracle definitions
 # --------------------------------------------------------------------------
@@ -475,10 +483,15 @@ def q_psi_value_drift(spark, sf_dir):
     # keeps the strict gate in the exact regime at every tested sf —
     # sf1 (1M events) compacted at the old fixed 2^17 and drifted by
     # ~2 counts per 50k (round-4 sf1 sweep); the compacting regime
-    # stays property-tested in tests/
-    k = max(1 << 17, ev.count() + 1)
-    vals = ev.select((F.dayofmonth("ts") <= 15).alias("old"),
-                     F.col("value").cast("double").alias("v"))
+    # stays property-tested in tests/. n comes from the parquet footer
+    # (zero jobs), not a count() scan.
+    k = max(1 << 17, _nrows(sf_dir, "events") + 1)
+    # NULL ts must be excluded BEFORE grouping: the oracle's early/late
+    # CASE buckets count NULL-ts rows in neither half, and a NULL group
+    # key here would map via bool(None) -> False into the late blob
+    vals = (ev.filter(F.col("ts").isNotNull())
+            .select((F.dayofmonth("ts") <= 15).alias("old"),
+                    F.col("value").cast("double").alias("v")))
     grouped = build_grouped_sketches(vals, ["old"], "v", _p(KLL, k),
                                      as_u64=False, salt_buckets=4)
     blobs = {bool(r["old"]): bytes(r["sketch"])
@@ -944,7 +957,7 @@ def q_kll_quantiles_price(spark, sf_dir):
     rank >= ceil(q*n) at any test sf; the compacting approximate
     regime is property-tested in tests/)."""
     li = _t(spark, sf_dir, "lineitem")
-    k = max(1 << 17, li.count() + 1)
+    k = max(1 << 17, _nrows(sf_dir, "lineitem") + 1)
     return Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
                               kind="kll", k=k)
 
@@ -958,8 +971,9 @@ def q_ddsketch_quantiles_price(spark, sf_dir):
     estimate (rel err <= alpha while uncollapsed — deterministic,
     so the flag is a hard gate)."""
     li = _t(spark, sf_dir, "lineitem")
-    exact = Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
-                               kind="kll", k=max(1 << 17, li.count() + 1))
+    exact = Q.sketch_quantiles(
+        spark, li, "l_extendedprice", _QS, kind="kll",
+        k=max(1 << 17, _nrows(sf_dir, "lineitem") + 1))
     dd = (Q.sketch_quantiles(spark, li, "l_extendedprice", _QS,
                              kind="dd", alpha=0.01, max_bins=4096,
                              pre_aggregate=True)
@@ -1340,7 +1354,7 @@ def q_fd_gram_embeddings(spark, sf_dir):
     from sketchlib.sketches.fd import FrequentDirections
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _nrows(sf_dir, "embeddings")
     q = emb.select(F.transform(F.col("embedding").cast("array<double>"),
                                lambda x: F.floor(x * 1000)
                                .cast("double")).alias("qv"))
@@ -1594,7 +1608,7 @@ def q_profile_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     prof = profile_table(
         spark, orders, ["o_custkey", "o_totalprice", "o_orderstatus"],
-        qs=(0.5,), kll_k=orders.count() + 1)
+        qs=(0.5,), kll_k=_nrows(sf_dir, "orders") + 1)
     return (prof.select(F.col("column").alias("col_name"), "n_values",
                         "n_distinct", "within_bound", "p0_5")
             .orderBy("col_name"))

@@ -322,6 +322,22 @@ def ann_topk_ivf(df: DataFrame, queries: DataFrame, k: int,
 
 # ----------------------------------------------------------------- PQ
 
+def _pq_init_sample(df: DataFrame, kcent: int, id_col: str,
+                    vec_col: str, seed: int = 0x5EEDC0DE) -> DataFrame:
+    """Deterministic shuffle-free pick of ``kcent`` init vectors: the
+    kcent rows with the smallest seeded xxhash64(id). orderBy+limit
+    compiles to TakeOrderedAndProject — each task keeps a local
+    top-kcent, the driver merges; no Exchange, Sort, or Window node
+    ever touches the training set (plan-pinned in tests/test_plans.py).
+    Hash order doubles as a uniform pseudo-random spread across the
+    corpus regardless of id density or layout."""
+    return (df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(),
+                     F.col(id_col).asc())
+            .limit(kcent)
+            .select(vec_col))
+
+
 def pq_train(df: DataFrame, m: int = 8, kcent: int = 256,
              iters: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding") -> np.ndarray:
@@ -331,12 +347,17 @@ def pq_train(df: DataFrame, m: int = 8, kcent: int = 256,
     and k-means each subspace to ``kcent`` centroids. Returns
     codebooks ``(m, kcent, dsub)`` float64.
 
-    Fully deterministic: centroids initialize from ``kcent`` vectors
-    STRIDED evenly across the id order (row_number % stride — unlike
-    ivf_train's smallest-id rule, a contiguous id prefix is usually
-    one locality cluster, which starves Lloyd of spread at PQ's much
-    larger kcent); every Lloyd step is order-independent float64.
-    Each iteration is ONE Spark job for
+    Fully deterministic: centroids initialize from the ``kcent``
+    vectors with the smallest seeded xxhash64(id) — a pseudo-random
+    spread over the whole corpus (unlike ivf_train's smallest-id rule,
+    a contiguous id prefix is usually one locality cluster, which
+    starves Lloyd of spread at PQ's much larger kcent). The selection
+    compiles to TakeOrderedAndProject: per-partition local top-kcent
+    merged on the driver — NO global sort, window, count job, or
+    shuffle exchange (the round-4 init used row_number over an
+    unpartitioned Window: a single-task sort of the training set;
+    plan-pinned gone in tests/test_plans.py). Every Lloyd step is
+    order-independent float64. Each iteration is ONE Spark job for
     ALL subspaces: a mapInPandas pass emits per-batch partial sums
     ``(sub, cluster, psum, n)`` — at most m*kcent rows per batch — and
     the driver folds them. Driver traffic O(m * kcent * dsub *
@@ -351,16 +372,7 @@ def pq_train(df: DataFrame, m: int = 8, kcent: int = 256,
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
-    n = df.count()
-    if n < kcent:
-        raise ValueError(f"need >= kcent={kcent} vectors to train")
-    stride = max(n // kcent, 1)
-    w = Window.orderBy(F.col(id_col).asc())
-    init = (df.select(id_col, vec_col)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") - 1) % stride == 0)
-            .orderBy("__rn").limit(kcent)
-            .select(vec_col).toPandas())
+    init = _pq_init_sample(df, kcent, id_col, vec_col).toPandas()
     X0 = _unit_rows(init[vec_col])
     if len(X0) < kcent:
         raise ValueError(f"need >= kcent={kcent} vectors to train")
@@ -482,7 +494,13 @@ def ann_topk_pq(codes_df: DataFrame, queries: DataFrame,
                 # partition — e.g. cluster-aligned layouts)
                 mask = ids != qids[qi]
                 rm, im = row[mask], ids[mask]
-                keep = np.argsort(rm, kind="stable")[:k]
+                # the local cut must use the SAME total order as the
+                # global window (adc_sim desc, neighbor_id asc): exact
+                # ADC ties are common (identical codes => identical
+                # sums) and a position-ordered argsort could drop the
+                # smaller-id tied neighbor, making top-k depend on
+                # partition layout. lexsort: last key primary.
+                keep = np.lexsort((im, rm))[:k]
                 out.append(pd.DataFrame({
                     "query_id": qids[qi], "neighbor_id": im[keep],
                     "adc_sim": 1.0 - rm[keep] / 2.0}))

@@ -61,4 +61,7 @@ class CounterRNG:
         if p >= 1.0:
             return 1
         u = self.uniform()
-        return int(math.ceil(math.log(u) / math.log1p(-p)))
+        # uniform() has support (0, 1]; at u == 1.0 (prob 2^-53)
+        # ceil(log(1)/log1p(-p)) = ceil(-0.0) = 0, i.e. "success
+        # before any trial" — callers assume >= 1 trial
+        return max(1, int(math.ceil(math.log(u) / math.log1p(-p))))

@@ -71,10 +71,13 @@ class PackedVector:
         """Scatter ``vals`` into fields at unique ``idx`` (fields may
         share words — handled via ufunc.at read-modify-write)."""
         idx = np.asarray(idx).ravel()
-        # duplicate idx would silently merge bits of both writes into
-        # one field (two bitwise_or into the same word region); cheap
-        # debug-only guard, internal callers are unique by construction
-        assert idx.size == np.unique(idx).size, \
+        # PRECONDITION: idx must be unique — duplicates would silently
+        # merge bits of both writes into one field (two bitwise_or into
+        # the same word region). Internal callers are unique by
+        # construction; the debug-only guard is limited to small
+        # scatters because np.unique is an O(n log n) sort that would
+        # tax every large write (and vanishes under python -O anyway)
+        assert idx.size > 4096 or idx.size == np.unique(idx).size, \
             "PackedVector.set requires unique idx"
         vals = (np.asarray(vals, dtype=_U64).ravel() & self.mask)
         w0, off = self._split(idx)

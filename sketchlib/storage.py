@@ -63,3 +63,24 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — the bucket spec rides along, so downstream
     joins/aggs on the bucket key plan shuffle-free."""
     return spark.table(table)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet file/directory from FOOTER METADATA
+    only — zero Spark jobs, zero data pages read. Replaces the
+    ``df.count()`` capacity probes in the strict quantile gates (an
+    avoidable full-scan job per query); parquet footers carry the row
+    count per file by spec, so this is O(#files) metadata reads. At
+    warehouse scale the same number comes from the table catalog /
+    manifest (Delta/Iceberg stats) — the principle is identical: never
+    run a scan job to learn a count the storage layer already knows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
