@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from functools import partial
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from sketchlib.sketches.cm import CMConfig
 from sketchlib import queries as Q
@@ -1007,6 +1007,27 @@ def q_dedup_minhash(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_minhash_delta(spark, sf_dir):
+    """Incremental LSH dedup against a stored index (dedup.py
+    minhash_dedup_delta) — the daily-append shape of a 100 TB pipeline:
+    historical corpus = `documents` (indexed once: band table + shingle
+    table); today's delta = the re-keyed every-10th copies (+1M, the
+    same construction as _dup_corpus). The delta run shingles and signs
+    ONLY the new docs and joins the stored index; historical text is
+    never re-read (plan-pinned with a parquet-backed index in
+    tests/test_dedup_delta.py). Strict oracle: exact Jaccard over the
+    appended corpus restricted to pairs touching a new doc — exactly
+    the rows a full recompute would add beyond yesterday's output."""
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 10 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    # yesterday's persisted index, built from the historical corpus
+    sh_old = D.shingles(docs, hashed=True)
+    band_index = D.minhash_band_index(shingle_df=sh_old)
+    return (D.minhash_dedup_delta(new, band_index, sh_old, threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _dup_corpus(_t(spark, sf_dir, "documents"))
     return (D.jaccard_pairs(docs, threshold=0.6,
@@ -1166,6 +1187,37 @@ def q_ann_lsh_topk(spark, sf_dir):
     corpus = _ann_lsh_corpus(emb)
     qs = corpus.filter(F.col("vec_id") < 10)
     return (A.ann_topk_lsh(corpus, qs, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-Quantization ANN (ann.py pq_train/pq_encode/ann_topk_pq)
+    in its EXACT REGIME — the repo's strict-gate pattern (collision-free
+    CM width, no-compaction KLL) applied to PQ: the training corpus is
+    exactly ``kcent`` vectors, so the hash-order init selects ALL of
+    them, every Lloyd assignment finds its own vector at distance 0,
+    and the codebooks are a fixed point from iteration 0 (iters=2
+    proves stability). Encoding is then lossless (each subvector IS a
+    centroid), ADC distance equals the true squared distance between
+    unit vectors, and adc_sim = 1 - d2/2 equals the exact cosine — so
+    the DuckDB dense-cosine top-k is a strict value gate over the full
+    PQ machinery (train, encode, LUT, codes-only scan, local cut,
+    global window). The approximate regime (kcent << n) is
+    recall-tested in tests/test_ann_pq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = (emb.filter(F.col("vec_id") < 128)
+              .select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")))
+    books = A.pq_train(corpus, m=8, kcent=128, iters=2)
+    codes = A.pq_encode(corpus, books)
+    qs = corpus.filter(F.col("vec_id") < 8)
+    top = A.ann_topk_pq(codes, qs, books, k=5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "neighbor_id",
+                    (F.floor(F.col("adc_sim") * 1e6) / 1e6).alias("sim"),
+                    "rank")
             .orderBy("query_id", "rank"))
 
 
@@ -2158,20 +2210,24 @@ def q_timetravel_cm_user_freq(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate walks this dict in
-    # order and truncates at ~50 (r2 and r3 both stopped at 50). Round-4
-    # rotation: the FIRST 50 are exactly the entries with NO green row
-    # in CORRECTNESS_r03 — leading with the three that have never had a
-    # green driver row in any round (user_sessions, ann_lsh_topk,
-    # multimodal_features) plus the new round-4 query — so a 50-query
-    # r4 truncation certifies everything r3 did not.  The 50 r3-green
-    # entries follow.
+    # order and truncates at ~50 (r2/r3/r4 all stopped at 50). Round-5
+    # rotation: after r03∪r04, every registered query has a green
+    # driver row EXCEPT multimodal_gif_stats (parked at position 51 in
+    # r4). The front therefore leads with that one plus the queries new
+    # in round 5 (ann_pq_topk, dedup_minhash_delta) — a truncated
+    # CORRECTNESS_r05 certifies the never-green remainder and the new
+    # surface, lifting lifetime driver coverage to every entry. The r4
+    # block and r3 block follow unchanged.
     return {
-        # --- never driver-green in any round + new this round ---
+        # --- never driver-green (r4 position 51) + new in round 5 ---
+        "multimodal_gif_stats": q_multimodal_gif_stats,
+        "ann_pq_topk": q_ann_pq_topk,
+        "dedup_minhash_delta": q_dedup_minhash_delta,
+        # --- driver-green in r4 ---
         "user_sessions": q_user_sessions,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_png_stats": q_multimodal_png_stats,
-        # --- driver-green in r1/r2 but not sampled in r3 ---
         "wmh_weighted_jaccard_langs": q_wmh_weighted_jaccard_langs,
         "filterhll_repeated_shingles": q_filterhll_repeated_shingles,
         "cm_intersect_user_freq": q_cm_intersect_user_freq,
@@ -2218,10 +2274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "pricing_summary": q_pricing_summary,
         "top_customers_window": q_top_customers_window,
-        # --- new round 4, position 51: first to be sacrificed if the
-        # driver truncates at 50 (deliberate — the 50 above all lack a
-        # CORRECTNESS_r03 row; this one is builder-sweep-certified) ---
-        "multimodal_gif_stats": q_multimodal_gif_stats,
         # --- driver-green in round 3 ---
         "ann_ivf_topk": q_ann_ivf_topk,
         "repetition_stats": q_repetition_stats,
@@ -2965,12 +3017,12 @@ SELECT doc_id, FLOOR(score * 1e4) / 1e4 AS score
 FROM sc ORDER BY 2 DESC, 1 LIMIT 20"""),
         "multimodal_gif_stats": ("""WITH m AS (SELECT i, 6 + (i * 5) % 27 AS w, 3 + (i * 7) % 13 AS h
            FROM range(150) t(i)),
-px AS (SELECT m.i, m.w, m.h,
+px AS (SELECT m.i, m.w, m.h, ys.y,
               (m.i * 17 + ys.y * 23 + xs.x * 29 + 42) % 256 AS idx
        FROM m,
             LATERAL (SELECT unnest(range(m.h)) AS y) ys,
             LATERAL (SELECT unnest(range(m.w)) AS x) xs),
-rgb AS (SELECT i, w, h,
+rgb AS (SELECT i, w, h, y,
                (idx * 7) % 256 AS r, (idx * 11) % 256 AS g,
                (idx * 13) % 256 AS b
         FROM px)
@@ -2980,7 +3032,8 @@ SELECT i AS media_id,
        CAST(SUM(r) AS BIGINT) AS sum_r,
        CAST(SUM(g) AS BIGINT) AS sum_g,
        CAST(SUM(b) AS BIGINT) AS sum_b,
-       CAST(MAX(30 * r + 59 * g + 11 * b) AS BIGINT) AS max_luma_x100
+       CAST(MAX(30 * r + 59 * g + 11 * b) AS BIGINT) AS max_luma_x100,
+       CAST(SUM(y * (30 * r + 59 * g + 11 * b)) AS BIGINT) AS ypos_luma
 FROM rgb GROUP BY i ORDER BY media_id"""),
         "multimodal_png_stats": ("""WITH m AS (SELECT i, 4 + (i * 7) % 29 AS w, 2 + (i * 5) % 17 AS h
            FROM range(150) t(i)),
@@ -3320,6 +3373,12 @@ FROM r""",
             f"MIN(doc_id) AS min_id FROM {_DUP_SQL} d "
             "GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint"),
         "dedup_minhash": jaccard_core.format(thr=0.9),
+        # delta run == full recompute on the appended corpus restricted
+        # to pairs touching a new (+1M re-keyed) doc
+        "dedup_minhash_delta": jaccard_core.format(thr=0.9).replace(
+            "ORDER BY id_a, id_b",
+            "  AND (id_a >= 1000000 OR id_b >= 1000000)\n"
+            "ORDER BY id_a, id_b"),
         "simhash_fingerprints": simhash_sql,
         "simhash_near_pairs": simhash_pairs_sql,
         "dedup_clusters": dedup_clusters_sql,
@@ -3401,6 +3460,24 @@ SELECT b.vec_id, b.cluster, c.component,
        (b.vec_id = c.component) AS keep
 FROM base b JOIN comp c USING (vec_id) ORDER BY vec_id""",
         "dedup_ngram_jaccard": jaccard_core.format(thr=0.6),
+        # PQ runs in its exact regime (corpus == kcent, lossless codes,
+        # ADC == exact cosine — see q_ann_pq_topk), so the oracle is
+        # plain dense cosine top-k over the same 128-vector corpus
+        "ann_pq_topk": """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 128),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, b.v) AS sim
+  FROM qs CROSS JOIN base b WHERE b.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, floor(sim * 1e6) / 1e6 AS sim, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
         "ann_cosine_topk": """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings),

@@ -271,6 +271,77 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
                          candidates=cands, shingle_df=sh)
 
 
+def minhash_band_index(df: DataFrame | None = None, n_perm: int = 64,
+                       bands: int = 16, shingle_n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       shingle_df: DataFrame | None = None) -> DataFrame:
+    """``(id, band, key)`` LSH band rows for a corpus — the table a
+    production pipeline PERSISTS (with the ``(id, sh64)`` shingle
+    table) so that tomorrow's delta run never re-reads today's corpus.
+    Plain exploded form: the delta path equi-joins it on (band, key),
+    so storing it bucketed/partitioned by key makes that join
+    shuffle-free on the stored side."""
+    sigs = minhash_signatures(df, n_perm, shingle_n, id_col, text_col,
+                              shingle_df=shingle_df, bands=bands)
+    return sigs.select(id_col,
+                       F.posexplode("bands").alias("band", "key"))
+
+
+def minhash_dedup_delta(new_docs: DataFrame, band_index: DataFrame,
+                        shingle_index: DataFrame, threshold: float = 0.8,
+                        n_perm: int = 64, bands: int = 16,
+                        shingle_n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Incremental near-dup detection against a STORED index — the
+    operation a real 100 TB pipeline runs daily: yesterday's corpus was
+    indexed once (``band_index`` = (id, band, key) from
+    minhash_band_index; ``shingle_index`` = (id, sh64) from
+    shingles(hashed=True)); today only the DELTA is shingled and
+    signed. Candidates are new x new (band self-join) plus
+    new x indexed (band join against the stored table); the exact
+    Jaccard verify reads new shingles plus ONLY the matched old docs'
+    stored shingles (semi-join on candidate ids). The historical
+    corpus TEXT is never touched — the delta plan scans the delta and
+    the index tables, nothing else (plan-pinned in
+    tests/test_dedup_delta.py). Verdicts are identical to a full
+    recompute on the appended corpus restricted to pairs involving a
+    new doc (the old x old pairs were yesterday's output).
+
+    Returns (id_a, id_b, jaccard >= threshold), id_a < id_b, same
+    contract as minhash_dedup_pairs."""
+    from pyspark import StorageLevel
+
+    sh_new = (shingles(new_docs, shingle_n, id_col, text_col, hashed=True)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    banded_new = (minhash_band_index(None, n_perm, bands, shingle_n,
+                                     id_col, text_col, shingle_df=sh_new)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+    a = banded_new.alias("a")
+    b = banded_new.alias("b")
+    nn = (a.join(b, ["band", "key"])
+          .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+          .select(F.col(f"a.{id_col}").alias("id_a"),
+                  F.col(f"b.{id_col}").alias("id_b")))
+    n = banded_new.alias("n")
+    o = band_index.alias("o")
+    no = (n.join(o, ["band", "key"])
+          .filter(F.col(f"n.{id_col}") != F.col(f"o.{id_col}"))
+          .select(F.least(F.col(f"n.{id_col}"),
+                          F.col(f"o.{id_col}")).alias("id_a"),
+                  F.greatest(F.col(f"n.{id_col}"),
+                             F.col(f"o.{id_col}")).alias("id_b")))
+    cands = nn.unionByName(no).distinct()
+    # stored shingles of ONLY the candidate-matched old docs ride into
+    # the verify join (ids not in the index — the new docs — just don't
+    # match the semi-join; their shingles come from sh_new)
+    need = (cands.select(F.explode(F.array("id_a", "id_b"))
+                         .alias(id_col)).distinct())
+    old_sh = shingle_index.join(need, id_col, "left_semi")
+    union_sh = sh_new.unionByName(old_sh)
+    return jaccard_pairs(None, threshold, shingle_n, id_col, text_col,
+                         candidates=cands, shingle_df=union_sh)
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash fingerprint per doc as two 32-bit halves

@@ -500,6 +500,16 @@ def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
+def _gif_interlace_order(ih: int) -> np.ndarray:
+    """GIF 4-pass interlace row schedule: order[k] = the image row the
+    k-th STORED row belongs to (pass 1: rows 0,8,16...; pass 2:
+    4,12...; pass 3: 2,6,10...; pass 4: odd rows). Interlacing only
+    permutes row storage order — pixel content is unchanged, which is
+    why the arithmetic oracle needs no change for interlaced fixtures."""
+    return np.concatenate([np.arange(0, ih, 8), np.arange(4, ih, 8),
+                           np.arange(2, ih, 4), np.arange(1, ih, 2)])
+
+
 def _gif_palette() -> np.ndarray:
     """256-entry arithmetic palette (so the decoder's palette mapping
     is inside the strict gate): entry j = ((j*7)%256,(j*11)%256,
@@ -510,7 +520,8 @@ def _gif_palette() -> np.ndarray:
 
 
 def synthetic_gif_media(spark: SparkSession, n: int, seed: int = 42,
-                        partitions: int = 8) -> DataFrame:
+                        partitions: int = 8,
+                        interlace_every: int | None = 3) -> DataFrame:
     """REAL GIF87a payloads — hand-rolled GIF-variant LZW compression
     (dictionary growth to 12-bit codes, CLEAR-code table resets,
     LSB-first packing, 255-byte sub-block framing) over an 8-bit
@@ -524,6 +535,13 @@ def synthetic_gif_media(spark: SparkSession, n: int, seed: int = 42,
         h(i) = 3 + (i * 7) % 13
         index of pixel (x, y) of image i =
             (i * 17 + y * 23 + x * 29 + seed) % 256
+
+    Every ``interlace_every``-th image (i % interlace_every == 0;
+    None disables) is stored INTERLACED — rows written in the GIF
+    4-pass schedule with the descriptor interlace flag set — so the
+    strict oracle gate covers the deinterlace path on real fixtures
+    (round-5; interlacing permutes row storage only, pixel content
+    and therefore the arithmetic oracle are unchanged).
     """
     import struct as _struct
 
@@ -538,8 +556,13 @@ def synthetic_gif_media(spark: SparkSession, n: int, seed: int = 42,
                 h = 3 + (i * 7) % 13
                 y, x = np.meshgrid(np.arange(h), np.arange(w),
                                    indexing="ij")
-                idx = ((i * 17 + y * 23 + x * 29 + seed)
-                       % 256).astype(np.uint8).reshape(-1)
+                idx2d = ((i * 17 + y * 23 + x * 29 + seed)
+                         % 256).astype(np.uint8)
+                interlaced = bool(interlace_every
+                                  and i % interlace_every == 0)
+                if interlaced:
+                    idx2d = idx2d[_gif_interlace_order(h)]
+                idx = idx2d.reshape(-1)
                 lzw = _lzw_encode(idx, 8)
                 blocks = bytearray()
                 for off in range(0, len(lzw), 255):
@@ -551,7 +574,9 @@ def synthetic_gif_media(spark: SparkSession, n: int, seed: int = 42,
                            + _struct.pack("<HHBBB", w, h,
                                           0xF7, 0, 0)  # GCT, 256 colors
                            + pal
-                           + b"\x2C" + _struct.pack("<HHHHB", 0, 0, w, h, 0)
+                           + b"\x2C" + _struct.pack(
+                               "<HHHHB", 0, 0, w, h,
+                               0x40 if interlaced else 0)
                            + bytes([8])  # LZW min code size
                            + bytes(blocks)
                            + b"\x3B")
@@ -567,11 +592,16 @@ def synthetic_gif_media(spark: SparkSession, n: int, seed: int = 42,
 def gif_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL decode of GIF87a payloads — header/descriptor parse,
     sub-block reassembly, full GIF-LZW decompression (growing code
-    widths, CLEAR resets, KwKwK), palette mapping — stdlib + numpy
-    only, one mapInPandas pass to integer per-channel statistics.
-    Strict-gated against a DuckDB oracle that re-derives every pixel
-    index and palette entry arithmetically, so the LZW round-trip is
-    inside the gate."""
+    widths, CLEAR resets, KwKwK), 4-pass DEINTERLACING (round 5),
+    palette mapping — stdlib + numpy only, one mapInPandas pass to
+    integer per-channel statistics. Strict-gated against a DuckDB
+    oracle that re-derives every pixel index and palette entry
+    arithmetically, so the LZW round-trip is inside the gate; the
+    row-position-weighted ``ypos_luma`` column is what gates the
+    deinterlace path (channel sums are permutation-invariant).
+    GIF89a extensions (incl. the transparency GCE) are parsed and
+    skipped: stats are over stored palette colors — transparency is a
+    rendering concern, not a storage one."""
     import struct as _struct
 
     def decode(raw: bytes) -> tuple[int, int, np.ndarray]:
@@ -606,8 +636,6 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
                 pal = np.frombuffer(raw, dtype=np.uint8, offset=pos,
                                     count=ncol * 3).reshape(ncol, 3)
                 pos += ncol * 3
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not decoded")
             mcs = raw[pos]
             pos += 1
             lzw = bytearray()
@@ -621,7 +649,13 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
                 raise ValueError("LZW output size mismatch")
             if pal is None:
                 raise ValueError("no color table")
-            rgb = pal[idx].astype(np.int64).reshape(ih, iw, 3)
+            idx2d = idx.reshape(ih, iw)
+            if iflags & 0x40:
+                # deinterlace: stored row k is image row order[k]
+                out = np.empty_like(idx2d)
+                out[_gif_interlace_order(ih)] = idx2d
+                idx2d = out
+            rgb = pal[idx2d].astype(np.int64)
             return iw, ih, rgb
         raise ValueError("no image descriptor in GIF")
 
@@ -632,18 +666,26 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
                 w, h, rgb = decode(bytes(payload))
                 luma = (30 * rgb[..., 0] + 59 * rgb[..., 1]
                         + 11 * rgb[..., 2])
+                # row-position-weighted luma: channel sums and maxima
+                # are invariant under row permutation, so only THIS
+                # statistic puts the deinterlace path inside the
+                # strict gate (a wrong row order changes it)
+                ypos = int((luma.sum(axis=1)
+                            * np.arange(h, dtype=np.int64)).sum())
                 out.append({"media_id": int(mid), "width": int(w),
                             "height": int(h),
                             "sum_r": int(rgb[..., 0].sum()),
                             "sum_g": int(rgb[..., 1].sum()),
                             "sum_b": int(rgb[..., 2].sum()),
-                            "max_luma_x100": int(luma.max())})
+                            "max_luma_x100": int(luma.max()),
+                            "ypos_luma": ypos})
             yield pd.DataFrame(out)
 
     return df.mapInPandas(
         per_batch,
         schema="media_id long, width long, height long, sum_r long, "
-               "sum_g long, sum_b long, max_luma_x100 long")
+               "sum_g long, sum_b long, max_luma_x100 long, "
+               "ypos_luma long")
 
 
 def fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:

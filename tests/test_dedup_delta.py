@@ -1,0 +1,86 @@
+"""Incremental (delta-mode) MinHash-LSH dedup against a stored index
+(round 5, VERDICT item 6): the daily operation of a 100 TB pipeline.
+
+Gates:
+- delta run == full recompute restricted to pairs touching the delta
+  (the semantic contract that makes the incremental path trustworthy);
+- with a parquet-backed index, the delta plan never scans the
+  historical corpus file — only the delta and the index tables.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sketchlib import dedup as D
+
+from tests.conftest import plan_of
+
+SF = "/root/testdata/sf0.001"
+THR = 0.9
+
+
+def _split(spark):
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    new = (docs.filter(F.col("doc_id") % 10 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return docs, new
+
+
+def test_delta_equals_full_recompute_restricted(spark):
+    docs, new = _split(spark)
+    sh_old = D.shingles(docs, hashed=True)
+    idx = D.minhash_band_index(shingle_df=sh_old)
+    delta = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+             D.minhash_dedup_delta(new, idx, sh_old, THR).collect()}
+
+    full = D.minhash_dedup_pairs(docs.unionByName(new), THR)
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            full.filter((F.col("id_a") >= 1_000_000)
+                        | (F.col("id_b") >= 1_000_000)).collect()}
+    assert delta == want
+    assert len(delta) > 0  # the construction guarantees exact dups
+
+
+def test_delta_plan_never_scans_historical_corpus(spark, tmp_path):
+    """The whole point of the stored index: with the index persisted to
+    parquet, tomorrow's run reads the DELTA and the INDEX — a plan that
+    still scans the historical corpus text would be a silent full
+    recompute at 100 TB."""
+    docs, new = _split(spark)
+    corpus_p = str(tmp_path / "hist_corpus.parquet")
+    bands_p = str(tmp_path / "band_index.parquet")
+    sh_p = str(tmp_path / "shingle_index.parquet")
+    docs.write.parquet(corpus_p)
+    hist = spark.read.parquet(corpus_p)
+    sh_old = D.shingles(hist, hashed=True)
+    sh_old.write.parquet(sh_p)
+    D.minhash_band_index(shingle_df=sh_old).write.parquet(bands_p)
+
+    delta_p = str(tmp_path / "delta.parquet")
+    new.write.parquet(delta_p)
+
+    out = D.minhash_dedup_delta(
+        spark.read.parquet(delta_p),
+        spark.read.parquet(bands_p),
+        spark.read.parquet(sh_p), THR)
+    plan = plan_of(out)
+    assert "hist_corpus" not in plan
+    assert "delta.parquet" in plan
+    assert "band_index" in plan and "shingle_index" in plan
+    # and it still finds the dup pairs (every 10th doc duplicated)
+    n = out.count()
+    assert n >= hist.filter(F.col("doc_id") % 10 == 0).count()
+
+
+def test_band_index_shape(spark):
+    docs, _ = _split(spark)
+    idx = D.minhash_band_index(docs.limit(20), bands=16)
+    rows = idx.collect()
+    assert {r["band"] for r in rows} == set(range(16))
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["band"])
+    assert all(len(b) == 16 for b in per_doc.values())

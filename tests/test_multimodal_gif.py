@@ -54,6 +54,8 @@ def test_gif_payloads_decode_back(spark):
         assert r["sum_b"] == int(rgb[..., 2].sum())
         luma = 30 * rgb[..., 0] + 59 * rgb[..., 1] + 11 * rgb[..., 2]
         assert r["max_luma_x100"] == int(luma.max())
+        assert r["ypos_luma"] == int(
+            (luma.sum(axis=1) * np.arange(h)).sum())
 
 
 def test_gif_structure(spark):
@@ -69,7 +71,9 @@ def test_gif_structure(spark):
         pos = 13 + 256 * 3
         assert raw[pos] == 0x2C
         _l, _t, iw, ih, ifl = struct.unpack_from("<HHHHB", raw, pos + 1)
-        assert (iw, ih, ifl) == (w, h, 0)
+        # every 3rd image is stored interlaced (round-5 coverage)
+        want_ifl = 0x40 if row["media_id"] % 3 == 0 else 0
+        assert (iw, ih, ifl) == (w, h, want_ifl)
         pos += 10
         assert raw[pos] == 8  # LZW min code size
         pos += 1
@@ -92,12 +96,42 @@ def test_gif_corrupt_stream_rejected(spark):
         gif_pixel_stats(df).collect()
 
 
-def test_gif_interlaced_rejected(spark):
-    [row] = synthetic_gif_media(spark, 1, partitions=1).collect()
+def test_ypos_luma_detects_wrong_row_order(spark):
+    """Channel sums and maxima are permutation-invariant, so the
+    row-position-weighted ypos_luma is what actually gates the
+    deinterlace path: flipping the interlace flag WITHOUT reordering
+    the stored rows must change ypos_luma (the decoder misplaces rows)
+    while sum_r stays identical."""
+    rows = synthetic_gif_media(spark, 2, partitions=1).collect()
+    [row] = [r for r in rows if r["media_id"] == 1]  # progressive
     raw = bytearray(bytes(row["payload"]))
     pos = 13 + 256 * 3
-    raw[pos + 9] |= 0x40  # set the interlace flag
-    df = spark.createDataFrame(
-        [(0, bytes(raw))], "media_id long, payload binary")
-    with pytest.raises(Exception, match="interlaced"):
-        gif_pixel_stats(df).collect()
+    assert raw[pos + 9] == 0
+    raw[pos + 9] |= 0x40  # lie: claim interlaced, rows unmoved
+    both = spark.createDataFrame(
+        [(0, bytes(row["payload"])), (1, bytes(raw))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in gif_pixel_stats(both).collect()}
+    assert got[0]["sum_r"] == got[1]["sum_r"]
+    assert got[0]["ypos_luma"] != got[1]["ypos_luma"]
+
+
+def test_interlace_order_is_permutation():
+    from sketchlib.multimodal import _gif_interlace_order
+    for ih in (1, 2, 3, 4, 5, 8, 9, 13, 15, 16):
+        order = _gif_interlace_order(ih)
+        assert sorted(order.tolist()) == list(range(ih))
+
+
+def test_interlaced_and_progressive_decode_identically(spark):
+    """The same pixel content stored interlaced vs progressive must
+    decode to identical stats — deinterlacing is pure row reordering."""
+    a = gif_pixel_stats(
+        synthetic_gif_media(spark, 12, partitions=2,
+                            interlace_every=1)).collect()
+    b = gif_pixel_stats(
+        synthetic_gif_media(spark, 12, partitions=2,
+                            interlace_every=None)).collect()
+    key = lambda r: r["media_id"]
+    assert sorted((r.asDict() for r in a), key=lambda d: d["media_id"]) \
+        == sorted((r.asDict() for r in b), key=lambda d: d["media_id"])

@@ -63,21 +63,32 @@ def _run(nproc: int) -> tuple[float, float, float]:
     return mops, 100.0 * d[2] / tot, 100.0 * d[7] / tot  # sys%, steal%
 
 
-def main() -> int:
+def probe() -> dict:
+    """Machine-readable window verdict — importable by bench.py's
+    record gate (round-5 protocol: a bench run refuses to record in a
+    window this probe calls degraded). Rates are the verdict; the
+    probe's own fork/alloc traffic puts ~10% sys on a healthy host, so
+    sys% alone never fails a window — it is kept as the diagnostic of
+    WHY a low rate is low."""
     m1, sys1, steal1 = _run(1)
     m8, sys8, steal8 = _run(8)
     r1, r8 = m1 / BASE_1P, m8 / BASE_8P
-    print(f"1-proc: {m1:6.0f} M ops/s ({100*r1:.0f}% of clean) "
-          f"sys {sys1:.1f}% steal {steal1:.1f}%")
-    print(f"8-proc: {m8:6.0f} M ops/s ({100*r8:.0f}% of clean) "
-          f"sys {sys8:.1f}% steal {steal8:.1f}%")
-    # rates are the verdict; the probe's own fork/alloc traffic puts
-    # ~10% sys on a healthy host, so sys% alone never fails a window —
-    # it is printed as the diagnostic of WHY a low rate is low
-    ok = r1 >= 0.85 and r8 >= 0.80
-    print("WINDOW:", "CLEAN — benchmark numbers trustworthy" if ok else
-          "DEGRADED — do not record benchmark numbers from this window")
-    return 0 if ok else 1
+    return {"m1_mops": round(m1), "m8_mops": round(m8),
+            "r1": round(r1, 3), "r8": round(r8, 3),
+            "sys1_pct": round(sys1, 1), "sys8_pct": round(sys8, 1),
+            "steal8_pct": round(steal8, 1),
+            "clean": bool(r1 >= 0.85 and r8 >= 0.80)}
+
+
+def main() -> int:
+    p = probe()
+    print(f"1-proc: {p['m1_mops']:6.0f} M ops/s ({100*p['r1']:.0f}% of "
+          f"clean) sys {p['sys1_pct']:.1f}%")
+    print(f"8-proc: {p['m8_mops']:6.0f} M ops/s ({100*p['r8']:.0f}% of "
+          f"clean) sys {p['sys8_pct']:.1f}% steal {p['steal8_pct']:.1f}%")
+    print("WINDOW:", "CLEAN — benchmark numbers trustworthy" if p["clean"]
+          else "DEGRADED — do not record benchmark numbers from this window")
+    return 0 if p["clean"] else 1
 
 
 if __name__ == "__main__":
