@@ -1594,6 +1594,23 @@ def q_multimodal_gif_stats(spark, sf_dir):
     return M.gif_pixel_stats(media).orderBy("media_id")
 
 
+def q_multimodal_jpeg_stats(spark, sf_dir):
+    """REAL baseline-JPEG decode (round 5, third compressed codec
+    after PNG's DEFLATE and GIF's LZW): genuine JFIF grayscale
+    payloads — canonical-Huffman DHT, DC prediction, byte stuffing —
+    decoded back inside mapInPandas (marker walk + Huffman + zigzag +
+    dequant + full float64 IDCT + crop) to integer pixel stats. The
+    fixtures are DC-ONLY (block-constant, quantizer 8), for which the
+    lossy pipeline is exactly integral, so the closed-form DuckDB
+    oracle is a strict gate over the whole compression round trip; the
+    AC run-length path is gated in tests/test_multimodal_jpeg.py
+    against an independent IDCT reference."""
+    from sketchlib import multimodal as M
+    _ensure_shipped(spark)
+    media = M.synthetic_jpeg_media(spark, 150, seed=42, partitions=8)
+    return M.jpeg_pixel_stats(media).orderBy("media_id")
+
+
 def q_pricing_summary(spark, sf_dir):
     """agg breadth (TPC-H Q1 shape) with exact decimal arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2223,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_stats": q_multimodal_gif_stats,
         "ann_pq_topk": q_ann_pq_topk,
         "dedup_minhash_delta": q_dedup_minhash_delta,
+        "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
         # --- driver-green in r4 ---
         "user_sessions": q_user_sessions,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3035,6 +3053,23 @@ SELECT i AS media_id,
        CAST(MAX(30 * r + 59 * g + 11 * b) AS BIGINT) AS max_luma_x100,
        CAST(SUM(y * (30 * r + 59 * g + 11 * b)) AS BIGINT) AS ypos_luma
 FROM rgb GROUP BY i ORDER BY media_id"""),
+        # JPEG fixtures are DC-only exact (see q_multimodal_jpeg_stats):
+        # pixel (x,y) = (i*19 + (y//8)*31 + (x//8)*37 + 42) % 256
+        "multimodal_jpeg_stats": ("""WITH m AS (SELECT i, 8 + (i * 5) % 33 AS w, 8 + (i * 7) % 17 AS h
+           FROM range(150) t(i)),
+px AS (SELECT m.i, m.w, m.h, ys.y,
+              (m.i * 19 + (ys.y // 8) * 31 + (xs.x // 8) * 37 + 42) % 256
+                AS v
+       FROM m,
+            LATERAL (SELECT unnest(range(m.h)) AS y) ys,
+            LATERAL (SELECT unnest(range(m.w)) AS x) xs)
+SELECT i AS media_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MAX(v) AS BIGINT) AS max_v,
+       CAST(SUM(y * v) AS BIGINT) AS ypos_v
+FROM px GROUP BY i ORDER BY media_id"""),
         "multimodal_png_stats": ("""WITH m AS (SELECT i, 4 + (i * 7) % 29 AS w, 2 + (i * 5) % 17 AS h
            FROM range(150) t(i)),
 px AS (SELECT m.i, m.w, m.h,

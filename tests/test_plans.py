@@ -313,3 +313,10 @@ def test_pq_init_sample_no_window_sort_or_exchange(spark):
     # no standalone Sort node (TakeOrderedAndProject's internal bounded
     # heap is not a Sort operator)
     assert not re.findall(r"\(\d+\) Sort\b", plan)
+
+
+def test_multimodal_jpeg_zero_exchange_pipeline(spark):
+    from sketchlib.multimodal import jpeg_pixel_stats, synthetic_jpeg_media
+    df = jpeg_pixel_stats(synthetic_jpeg_media(spark, 16, partitions=4))
+    plan = _plan(df)
+    assert "Exchange" not in plan

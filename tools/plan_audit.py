@@ -139,6 +139,21 @@ AUDITED = [
     ("filterhll_repeated_shingles",
      "threshold-distinct over shingles: pre-distinct JVM-side, "
      "grouped sketch build, no driver funnel"),
+    # round-5 additions
+    ("ann_pq_topk",
+     "PQ/ADC: codebooks+LUTs ride the closure, corpus scan touches "
+     "CODES only, per-batch local top-k, window-rank global cut — "
+     "the corpus never shuffles; train init is TakeOrderedAndProject "
+     "(no global sort / window / count job)"),
+    ("dedup_minhash_delta",
+     "incremental LSH dedup: only the DELTA is shingled/signed; "
+     "candidates = delta band self-join UNION band join against the "
+     "stored index; verify reads delta shingles + semi-joined matched "
+     "old shingles — historical text never scanned"),
+    ("multimodal_jpeg_stats",
+     "real baseline-JPEG decode (canonical Huffman, zigzag/dequant, "
+     "float64 IDCT) in chained mapInPandas — same 0-exchange narrow "
+     "shape as the WAV/BMP/PNG/GIF codecs"),
 ]
 
 
