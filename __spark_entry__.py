@@ -1017,10 +1017,15 @@ def q_dedup_minhash_delta(spark, sf_dir):
     never re-read (plan-pinned with a parquet-backed index in
     tests/test_dedup_delta.py). Strict oracle: exact Jaccard over the
     appended corpus restricted to pairs touching a new doc — exactly
-    the rows a full recompute would add beyond yesterday's output."""
+    the rows a full recompute would add beyond yesterday's output.
+
+    Delta ids re-key at +1e9, NOT the +1e6 the other dedup corpora
+    use: the scaled sf1 snapshot has doc_ids up to ~9e6, and an id
+    threshold inside the historical range would misclassify high-id
+    historical docs as delta (caught by the round-5 sf1 gate)."""
     docs = _t(spark, sf_dir, "documents")
     new = (docs.filter(F.col("doc_id") % 10 == 0)
-           .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+           .withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
     # yesterday's persisted index, built from the historical corpus
     sh_old = D.shingles(docs, hashed=True)
     band_index = D.minhash_band_index(shingle_df=sh_old)
@@ -3409,10 +3414,13 @@ FROM r""",
             "GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint"),
         "dedup_minhash": jaccard_core.format(thr=0.9),
         # delta run == full recompute on the appended corpus restricted
-        # to pairs touching a new (+1M re-keyed) doc
-        "dedup_minhash_delta": jaccard_core.format(thr=0.9).replace(
+        # to pairs touching a new doc; delta ids re-key at +1e9 (above
+        # every sf's historical id range — sf1 ids reach ~9e6)
+        "dedup_minhash_delta": jaccard_core.replace(
+            _DUP_SQL, _DUP_SQL.replace("1000000", "1000000000")
+        ).format(thr=0.9).replace(
             "ORDER BY id_a, id_b",
-            "  AND (id_a >= 1000000 OR id_b >= 1000000)\n"
+            "  AND (id_a >= 1000000000 OR id_b >= 1000000000)\n"
             "ORDER BY id_a, id_b"),
         "simhash_fingerprints": simhash_sql,
         "simhash_near_pairs": simhash_pairs_sql,

@@ -24,8 +24,9 @@ THR = 0.9
 
 def _split(spark):
     docs = spark.read.parquet(SF + "/documents.parquet")
+    # +1e9 re-key: above every sf's historical id range (sf1 ~9e6)
     new = (docs.filter(F.col("doc_id") % 10 == 0)
-           .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+           .withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
     return docs, new
 
 
@@ -38,8 +39,8 @@ def test_delta_equals_full_recompute_restricted(spark):
 
     full = D.minhash_dedup_pairs(docs.unionByName(new), THR)
     want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
-            full.filter((F.col("id_a") >= 1_000_000)
-                        | (F.col("id_b") >= 1_000_000)).collect()}
+            full.filter((F.col("id_a") >= 1_000_000_000)
+                        | (F.col("id_b") >= 1_000_000_000)).collect()}
     assert delta == want
     assert len(delta) > 0  # the construction guarantees exact dups
 
