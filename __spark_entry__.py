@@ -3446,7 +3446,10 @@ ORDER BY span_hash""",
         "dup_span_coverage": _span_sql + """,
 dup AS (SELECT span_hash FROM spans GROUP BY span_hash
         HAVING COUNT(*) >= 2),
-hits AS (SELECT s.doc_id, s.start, s.start + 10 AS e
+-- DISTINCT: duplicate (doc_id, start) rows would make ORDER BY start
+-- a non-total order, and ROWS frames over ties are implementation-
+-- defined (observed run-to-run drift in this engine at sf1)
+hits AS (SELECT DISTINCT s.doc_id, s.start, s.start + 10 AS e
          FROM spans s JOIN dup USING (span_hash)),
 marked AS (
   SELECT doc_id, start, e,

@@ -129,12 +129,23 @@ def span_dup_coverage(docs: DataFrame, width: int = 10,
     covered docs; frac is floor(1e6*covered/n_tokens)/1e6 so any SQL
     engine reproduces the rounding exactly."""
     spans = span_hashes(docs, width, id_col, text_col)
+    # DISTINCT before the island window is a CORRECTNESS requirement,
+    # not an optimization: duplicate (id, start) rows (e.g. two docs
+    # sharing an id after a corpus union, each with a duplicated
+    # window at the same position) make ORDER BY start a non-total
+    # order, and a ROWS frame over a non-total order is
+    # implementation-defined in every engine — DuckDB's parallel
+    # window produced run-to-run different covered sums on exactly
+    # this shape at sf1 (round-5 gate). Distinct intervals restore a
+    # total order per doc; a duplicate interval adds nothing to the
+    # union anyway.
     hits = (spans
             .withColumn("cnt", F.count("*").over(
                 Window.partitionBy("span_hash")))
             .filter(F.col("cnt") >= 2)
             .select(id_col, "start",
-                    (F.col("start") + width).alias("end")))
+                    (F.col("start") + width).alias("end"))
+            .distinct())
 
     w = Window.partitionBy(id_col).orderBy("start")
     prev_max = F.max("end").over(

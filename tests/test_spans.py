@@ -81,3 +81,28 @@ def test_coverage_respects_fraction_rounding(spark, corpus):
         assert r.coverage_frac == math.floor(
             r.covered * 1_000_000 / r.n_tokens) / 1_000_000
         assert 0 < r.covered <= r.n_tokens
+
+
+def test_coverage_deterministic_with_collided_doc_ids(spark):
+    """Round-5 regression: two docs sharing a doc_id (a corpus-union
+    artifact — the sf1 gate hit it when re-keyed copies collided with
+    the scaled snapshot's id range) create duplicate (id, start)
+    interval rows; without a DISTINCT before the island window the
+    ROWS frame runs over a non-total order and the covered sum is
+    implementation-defined (observed run-to-run drift in DuckDB).
+    Pinned: duplicates contribute nothing, covered <= max text extent,
+    and the result is stable across repeated runs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one two three"),      # 13 tokens
+        (1, base + " four five"),          # same id, different text
+        (2, base + " one two three"),      # duplicates doc 1's windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = [sorted(map(tuple, S.span_dup_coverage(df, width=10)
+                       .select("doc_id", "n_tokens", "covered")
+                       .collect()))
+            for _ in range(3)]
+    assert outs[0] == outs[1] == outs[2]
+    for doc_id, n_tokens, covered in outs[0]:
+        assert covered <= max(13, n_tokens)
