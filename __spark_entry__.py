@@ -1026,7 +1026,13 @@ def q_dedup_minhash_delta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     new = (docs.filter(F.col("doc_id") % 10 == 0)
            .withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
-    # yesterday's persisted index, built from the historical corpus
+    # yesterday's persisted index, built from the historical corpus.
+    # Deliberately NOT persisted: the shingle table feeds two consumers
+    # (band-index build + verify semi-join), but an A/B at sf0.1 put
+    # the persist at ~2x SLOWER (6.2-7.4 s vs 3.3-3.4 s warm) — the
+    # cache write of the full shingle table costs more than shingling
+    # twice. In production both tables are parquet READS, so the
+    # question doesn't arise.
     sh_old = D.shingles(docs, hashed=True)
     band_index = D.minhash_band_index(shingle_df=sh_old)
     return (D.minhash_dedup_delta(new, band_index, sh_old, threshold=0.9)
@@ -1223,6 +1229,47 @@ def q_ann_pq_topk(spark, sf_dir):
             .select("query_id", "neighbor_id",
                     (F.floor(F.col("adc_sim") * 1e6) / 1e6).alias("sim"),
                     "rank")
+            .orderBy("query_id", "rank"))
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (ann.py ivfpq_index/ann_topk_ivfpq — the FAISS-style
+    composition serving 10^12-vector corpora) posed so the strict
+    oracle covers the GENUINELY APPROXIMATE regime (nprobe=1):
+    the corpus is 78 base vectors plus five power-of-two scaled
+    copies of each query (128 rows == kcent, so PQ is lossless and
+    ADC equals exact cosine — see q_ann_pq_topk), and a scaled copy
+    unit-normalizes BIT-EXACTLY to its query (power-of-two scaling is
+    exact in IEEE754), so every copy lands in the query's own coarse
+    cell with the query's own codes. Probing one cell therefore finds
+    all five true neighbors (cosine exactly 1.0), and the exact
+    dense-cosine top-5 is a strict gate over the full machinery:
+    coarse train/assign, cell-probe routing, codes-only filtered
+    scan, LUT/ADC, local cut, global window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (emb.filter(F.col("vec_id") < 78)
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("embedding")))
+    qs = base.filter(F.col("vec_id") < 10)
+    copies = (qs.select("vec_id", "embedding",
+                        F.explode(F.array(*[F.lit(j) for j in range(1, 6)]))
+                        .alias("j"))
+              .select((F.lit(1_000_000) + F.col("vec_id") * 10
+                       + F.col("j")).alias("vec_id"),
+                      F.transform(
+                          "embedding",
+                          lambda x: x * F.pow(F.lit(2.0), F.col("j")))
+                      .alias("embedding")))
+    corpus = base.unionByName(copies)           # 78 + 50 = 128 = kcent
+    cents = A.ivf_train(corpus, nlist=8, iters=3)
+    books = A.pq_train(corpus, m=8, kcent=128, iters=2)
+    idx = A.ivfpq_index(corpus, cents, books)
+    top = A.ann_topk_ivfpq(idx, qs, cents, books, k=5, nprobe=1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("adc_sim"), 6).alias("sim"), "rank")
             .orderBy("query_id", "rank"))
 
 
@@ -2246,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "dedup_minhash_delta": q_dedup_minhash_delta,
         "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # --- driver-green in r4 ---
         "user_sessions": q_user_sessions,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3506,6 +3554,29 @@ SELECT b.vec_id, b.cluster, c.component,
        (b.vec_id = c.component) AS keep
 FROM base b JOIN comp c USING (vec_id) ORDER BY vec_id""",
         "dedup_ngram_jaccard": jaccard_core.format(thr=0.6),
+        # IVF-PQ: lossless-PQ regime + recall-guaranteed copies (see
+        # q_ann_ivfpq_topk) make the exact dense-cosine top-5 a strict
+        # gate at nprobe=1 — the genuinely approximate probe regime
+        "ann_ivfpq_topk": """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 78),
+js AS (SELECT unnest([1, 2, 3, 4, 5]) AS j),
+copies AS (SELECT 1000000 + b.vec_id * 10 + j AS vec_id,
+                  list_transform(v, x -> x * power(2.0, j)) AS v
+           FROM base b, js WHERE b.vec_id < 10),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, c.v) AS sim
+  FROM qs CROSS JOIN corpus c WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
         # PQ runs in its exact regime (corpus == kcent, lossless codes,
         # ADC == exact cosine — see q_ann_pq_topk), so the oracle is
         # plain dense cosine top-k over the same 128-vector corpus

@@ -64,7 +64,7 @@ SUITE = [
     "dup_spans", "dup_span_coverage",
     "simhash_fingerprints",
     "countsketch_event_freq", "ann_cosine_topk", "ann_lsh_topk",
-    "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "lang_id", "quality_score", "repetition_stats",
     "pii_scan", "domain_stats", "training_mix", "dsir_select", "lm_scores",
     "pack_manifest", "curation_pipeline",

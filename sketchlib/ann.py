@@ -416,15 +416,19 @@ def pq_train(df: DataFrame, m: int = 8, kcent: int = 256,
 
 def pq_encode(df: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              keep_cols: list[str] | None = None) -> DataFrame:
     """Encode unit-normalized vectors to ``(id, codes array<int>)`` —
     m codes of 0..kcent-1 each, 8-256x smaller than the raw vectors
     (the representation that actually fits 10^12 vectors in cluster
-    memory). One mapInPandas pass; codebooks ride the task closure."""
+    memory). One mapInPandas pass; codebooks ride the task closure.
+    ``keep_cols`` carries extra columns (e.g. the IVF cell) through the
+    kernel, so index layouts like (id, cell, codes) need no join."""
     import pandas as pd
 
     m, kcent, dsub = codebooks.shape
     B = codebooks
+    keep = list(keep_cols or [])
 
     def enc(batches):
         for pdf in batches:
@@ -437,11 +441,15 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
                 d2 = (Xs @ B[j].T) * 2 - np.einsum(
                     "kd,kd->k", B[j], B[j])[None, :]
                 codes[:, j] = d2.argmax(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col],
-                                "codes": list(codes)})
+            out = {"id": pdf[id_col], "codes": list(codes)}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return (df.select(id_col, vec_col)
-            .mapInPandas(enc, f"id long, codes array<bigint>")
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    return (df.select(id_col, vec_col, *keep)
+            .mapInPandas(enc, f"id long, codes array<bigint>{keep_schema}")
             .withColumnsRenamed({"id": id_col}))
 
 
@@ -508,6 +516,103 @@ def ann_topk_pq(codes_df: DataFrame, queries: DataFrame,
 
     local = codes_df.mapInPandas(
         scan, "query_id long, neighbor_id long, adc_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id"))
+    return (local.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk")
+            .orderBy("query_id", F.col("adc_sim").desc(), "neighbor_id"))
+
+
+def ivfpq_index(df: DataFrame, centroids: np.ndarray,
+                codebooks: np.ndarray, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """``(id, cell, codes)`` — the stored IVF-PQ layout (Jegou et al.
+    TPAMI'11; the index structure behind every billion-scale ANN
+    service): coarse cell for probe pruning, PQ codes for in-cell ADC.
+    One narrow pass (assignment pandas_udf + encode kernel chained —
+    no shuffle, no join: the cell rides through pq_encode's
+    ``keep_cols``). At scale, WRITE THIS PARTITIONED BY ``cell``: a
+    probe then prunes at the file level and the ADC scan touches only
+    nprobe/nlist of the corpus bytes."""
+    a = ivf_assign(df, centroids, vec_col, out_col="cell")
+    return pq_encode(a, codebooks, id_col, vec_col, keep_cols=["cell"])
+
+
+def ann_topk_ivfpq(codes_df: DataFrame, queries: DataFrame,
+                   centroids: np.ndarray, codebooks: np.ndarray,
+                   k: int, nprobe: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search — the composition that serves 10^12-vector
+    corpora: each query probes its ``nprobe`` nearest coarse cells and
+    ADC-scans ONLY the codes stored in those cells. ``codes_df`` is
+    the (id, cell, codes) table from :func:`ivfpq_index`; raw vectors
+    are never touched at query time.
+
+    Scale shape: the probed-cell union becomes a Catalyst ``isin``
+    filter on the codes scan (partition-prunable when the index is
+    stored partitioned by cell); per-query LUTs and probe sets ride
+    the closure (nq * m * kcent doubles + nq * nprobe ints); each
+    Arrow batch emits its LOCAL top-k per query (ties broken by
+    neighbor id, the same total order as the global cut); the global
+    cut is a window rank over nq * k * n_batches rows. Nothing about
+    the corpus ever shuffles. Output (query_id, neighbor_id, adc_sim)
+    ranked (adc_sim desc, neighbor_id); ``nprobe >= nlist`` scans
+    every cell and equals :func:`ann_topk_pq` exactly (tested)."""
+    import pandas as pd
+
+    m, kcent, dsub = codebooks.shape
+    qp = queries.select(id_col, vec_col).toPandas()
+    qids = qp[id_col].to_numpy()
+    Q = _unit_rows(qp[vec_col])
+    C = np.asarray(centroids, dtype=np.float64)
+    np_ = int(min(nprobe, len(C)))
+    sims = Q @ C.T
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+    probe_sets = [set(map(int, r)) for r in probes]
+    cells_union = sorted({c for s in probe_sets for c in s})
+
+    B = codebooks
+    lut = np.empty((len(qids), m, kcent))
+    for j in range(m):
+        Qs = Q[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = (np.einsum("id,id->i", Qs, Qs)[:, None]
+                        - 2 * (Qs @ B[j].T)
+                        + np.einsum("kd,kd->k", B[j], B[j])[None, :])
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            d2 = np.zeros((len(qids), len(ids)))
+            for j in range(m):
+                d2 += lut[:, j, codes[:, j]]
+            out = []
+            for qi in range(len(qids)):
+                # probe restriction AND self-exclusion both before the
+                # local cut (see ann_topk_pq on why self-exclusion
+                # inside the kernel matters)
+                mask = np.fromiter((int(c) in probe_sets[qi]
+                                    for c in cells), bool, len(cells))
+                mask &= ids != qids[qi]
+                if not mask.any():
+                    continue
+                rm, im = d2[qi][mask], ids[mask]
+                keep = np.lexsort((im, rm))[:k]
+                out.append(pd.DataFrame({
+                    "query_id": qids[qi], "neighbor_id": im[keep],
+                    "adc_sim": 1.0 - rm[keep] / 2.0}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = (codes_df
+             .filter(F.col("cell").isin(cells_union))
+             .mapInPandas(
+                 scan, "query_id long, neighbor_id long, adc_sim double"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id"))
     return (local.filter(F.col("neighbor_id") != F.col("query_id"))

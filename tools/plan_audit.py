@@ -145,6 +145,11 @@ AUDITED = [
      "CODES only, per-batch local top-k, window-rank global cut — "
      "the corpus never shuffles; train init is TakeOrderedAndProject "
      "(no global sort / window / count job)"),
+    ("ann_ivfpq_topk",
+     "IVF-PQ: probed-cell union becomes a Catalyst isin filter on the "
+     "(id, cell, codes) scan (partition-prunable when the index is "
+     "stored partitioned by cell); LUTs + probe sets ride the "
+     "closure; per-batch local top-k; corpus never shuffles"),
     ("dedup_minhash_delta",
      "incremental LSH dedup: only the DELTA is shingled/signed; "
      "candidates = delta band self-join UNION band join against the "
