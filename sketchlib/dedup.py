@@ -287,6 +287,27 @@ def minhash_band_index(df: DataFrame | None = None, n_perm: int = 64,
                        F.posexplode("bands").alias("band", "key"))
 
 
+def minhash_index_append(band_index: DataFrame, shingle_index: DataFrame,
+                         new_docs: DataFrame, n_perm: int = 64,
+                         bands: int = 16, shingle_n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text"
+                         ) -> tuple[DataFrame, DataFrame]:
+    """Fold a processed delta into the stored index — the other half of
+    the daily loop: after :func:`minhash_dedup_delta` reports today's
+    near-dup pairs, today's band and shingle rows append to the stored
+    tables so TOMORROW's delta joins against them too. Pure union (the
+    index rows of distinct doc ids are disjoint); at scale this is an
+    appender write into the cell/key-partitioned index tables, no
+    shuffle, no rewrite of yesterday's files. Returns the appended
+    (band_index, shingle_index) pair."""
+    sh_new = shingles(new_docs, shingle_n, id_col, text_col, hashed=True)
+    banded_new = minhash_band_index(None, n_perm, bands, shingle_n,
+                                    id_col, text_col, shingle_df=sh_new)
+    return (band_index.unionByName(banded_new),
+            shingle_index.unionByName(sh_new))
+
+
 def minhash_dedup_delta(new_docs: DataFrame, band_index: DataFrame,
                         shingle_index: DataFrame, threshold: float = 0.8,
                         n_perm: int = 64, bands: int = 16,

@@ -85,3 +85,43 @@ def test_band_index_shape(spark):
     for r in rows:
         per_doc.setdefault(r["doc_id"], set()).add(r["band"])
     assert all(len(b) == 16 for b in per_doc.values())
+
+
+def test_two_day_loop_equals_full_recompute(spark):
+    """The complete daily cycle: day-1 delta dedups against the
+    historical index and APPENDS to it (minhash_index_append); day-2's
+    delta then sees both the original corpus and day-1's docs. The
+    union of the three runs' pairs must equal one full recompute over
+    everything — i.e. incremental processing loses nothing across
+    days, including day-1 x day-2 cross pairs."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    day1 = (docs.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
+    day2 = (docs.filter(F.col("doc_id") % 10 == 5)
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000))
+    # also make day2 overlap day1: a copy of one day-1 doc
+    dup_of_day1 = day1.filter(F.col("doc_id") == 1_000_000_000).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text")
+    day2 = (day2.select("doc_id", "text")
+            .unionByName(dup_of_day1))
+
+    sh0 = D.shingles(docs, hashed=True)
+    bi0 = D.minhash_band_index(shingle_df=sh0)
+    p1 = D.minhash_dedup_delta(day1, bi0, sh0, THR)
+    bi1, sh1 = D.minhash_index_append(bi0, sh0, day1)
+    p2 = D.minhash_dedup_delta(day2, bi1, sh1, THR)
+
+    got = {(r["id_a"], r["id_b"]) for r in p1.collect()} \
+        | {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    full = D.minhash_dedup_pairs(
+        docs.select("doc_id", "text")
+        .unionByName(day1.select("doc_id", "text"))
+        .unionByName(day2), THR)
+    want = {(r["id_a"], r["id_b"]) for r in
+            full.filter((F.col("id_a") >= 1_000_000_000)
+                        | (F.col("id_b") >= 1_000_000_000)).collect()}
+    assert got == want
+    # the day1 x day2 cross pair exists and was found by the DAY-2 run
+    assert any(a == 1_000_000_000 and b == 3_000_000_000
+               for a, b in {(r["id_a"], r["id_b"])
+                            for r in p2.collect()})
