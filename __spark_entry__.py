@@ -1663,6 +1663,22 @@ def q_multimodal_jpeg_stats(spark, sf_dir):
     return M.jpeg_pixel_stats(media).orderBy("media_id")
 
 
+def q_multimodal_flac_stats(spark, sf_dir):
+    """REAL native-FLAC decode (round 5, fourth real codec and first
+    compressed AUDIO format): genuine FLAC payloads — STREAMINFO with
+    the true PCM MD5, CRC-8-protected frame headers, CRC-16-protected
+    frames, CONSTANT / FIXED-order subframes with Rice-coded
+    residuals — decoded back inside mapInPandas with every check
+    enforced (sync, both CRCs, predictor reconstruction, MD5 of the
+    decoded PCM). FLAC is lossless, so no exactness trick is needed:
+    the closed-form DuckDB oracle strict-gates the entire compression
+    round trip on every fixture."""
+    from sketchlib import multimodal as M
+    _ensure_shipped(spark)
+    media = M.synthetic_flac_media(spark, 150, seed=42, partitions=8)
+    return M.flac_amplitude_stats(media).orderBy("media_id")
+
+
 def q_pricing_summary(spark, sf_dir):
     """agg breadth (TPC-H Q1 shape) with exact decimal arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2294,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_delta": q_dedup_minhash_delta,
         "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "multimodal_flac_stats": q_multimodal_flac_stats,
         # --- driver-green in r4 ---
         "user_sessions": q_user_sessions,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3106,6 +3123,25 @@ SELECT i AS media_id,
        CAST(MAX(30 * r + 59 * g + 11 * b) AS BIGINT) AS max_luma_x100,
        CAST(SUM(y * (30 * r + 59 * g + 11 * b)) AS BIGINT) AS ypos_luma
 FROM rgb GROUP BY i ORDER BY media_id"""),
+        # FLAC is lossless — every fixture decodes bit-exactly, so the
+        # arithmetic sample form is the strict oracle (same family as
+        # the WAV gate; kk = 0 for the constant-subframe payloads)
+        "multimodal_flac_stats": ("""WITH m AS (SELECT i, 64 + (i * 37) % 192 AS ns FROM range(150) t(i)),
+s AS (SELECT m.i, m.ns,
+             ((m.i * 6151
+               + (CASE WHEN m.i % 3 = 0 THEN 0 ELSE ks.k END) * 92821
+               + 42) % 65536) - 32768 AS v
+      FROM m, LATERAL (SELECT unnest(range(m.ns)) AS k) ks),
+agg AS (SELECT i, MAX(ns) AS ns, SUM(ABS(v)) AS sa, MAX(ABS(v)) AS ma,
+               SUM(v * v) AS sq
+        FROM s GROUP BY i)
+SELECT i AS media_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(sa AS BIGINT) AS sum_abs,
+       CAST(ma AS BIGINT) AS max_abs,
+       CAST(sq AS BIGINT) AS sum_sq
+FROM agg ORDER BY media_id"""),
         # JPEG fixtures are DC-only exact (see q_multimodal_jpeg_stats):
         # pixel (x,y) = (i*19 + (y//8)*31 + (x//8)*37 + 42) % 256
         "multimodal_jpeg_stats": ("""WITH m AS (SELECT i, 8 + (i * 5) % 33 AS w, 8 + (i * 7) % 17 AS h

@@ -72,7 +72,7 @@ SUITE = [
     "multimodal_wav_stats", "cs_fold_event_freq",
     "cm_packed_user_freq", "multimodal_bmp_stats",
     "multimodal_png_stats", "multimodal_gif_stats",
-    "multimodal_jpeg_stats",
+    "multimodal_jpeg_stats", "multimodal_flac_stats",
     "bm25_topk_docs", "budget_select_docs",
     "pricing_summary", "top_customers_window",
     "user_sessions", "profile_orders",

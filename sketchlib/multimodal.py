@@ -1112,3 +1112,407 @@ def _jpeg_decode_gray(raw: bytes) -> tuple[int, int, np.ndarray]:
             else:
                 raise ValueError(f"unexpected JPEG marker 0x{m:02x}")
         raise ValueError("no SOS in JPEG")
+
+
+# ------------------------------------------------------------------ FLAC
+# Round 5: the fourth REAL compressed codec and the first compressed
+# AUDIO format — native FLAC (lossless: fixed linear prediction +
+# Rice-coded residuals), stdlib + numpy only. Unlike JPEG there is no
+# exactness trick needed: FLAC is lossless by construction, so EVERY
+# fixture decodes to bit-exact samples and the closed-form DuckDB
+# oracle strict-gates the whole pipeline — frame sync, CRC-8/CRC-16
+# verification, subframe decode (CONSTANT / VERBATIM / FIXED orders
+# 0-4), Rice/unary decode, fixed-predictor reconstruction, and the
+# STREAMINFO MD5 of the decoded PCM. LPC subframes and stereo
+# decorrelation are out of scope and raise.
+
+_FLAC_CRC8_POLY = 0x07     # x^8 + x^2 + x + 1 (frame header)
+_FLAC_CRC16_POLY = 0x8005  # x^16 + x^15 + x^2 + 1 (whole frame)
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ _FLAC_CRC8_POLY if crc & 0x80
+                   else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ _FLAC_CRC16_POLY if crc & 0x8000
+                   else crc << 1) & 0xFFFF
+    return crc
+
+
+class _MsbWriter:
+    """MSB-first bit packer (no byte stuffing — FLAC is a plain
+    bitstream, unlike JPEG's entropy segment)."""
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, val: int, n: int) -> None:
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+class _MsbReader:
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.bitpos = bitpos
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def unary(self) -> int:
+        """FLAC unary: count 0 bits up to the terminating 1."""
+        q = 0
+        while True:
+            if self.bits(1):
+                return q
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary code")
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _rice_zigzag(r: np.ndarray) -> np.ndarray:
+    return np.where(r >= 0, 2 * r, -2 * r - 1)
+
+
+def _flac_encode_frame(samples: np.ndarray, blocksize: int,
+                       sub_type: str, order: int = 0) -> bytes:
+    """One mono 16-bit FLAC frame (fixed-blocksize stream, frame 0):
+    14-bit sync + header with CRC-8, one subframe (constant /
+    verbatim / fixed-order with single-partition Rice residuals),
+    CRC-16 over the whole frame."""
+    w = _MsbWriter()
+    # header: sync(14)=0x3FFE, reserved 0, blocking strategy 0 (fixed)
+    w.put(0x3FFE, 14)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0b0111, 4)      # blocksize: 16-bit value - 1 at header end
+    w.put(0b0000, 4)      # sample rate: from STREAMINFO
+    w.put(0b0000, 4)      # channel assignment: mono
+    w.put(0b100, 3)       # sample size: 16 bits
+    w.put(0, 1)           # reserved
+    w.put(0x00, 8)        # coded frame number 0 (UTF-8)
+    w.put(blocksize - 1, 16)
+    hdr = w.bytes()
+    assert w.nbits == 0
+    w.put(_flac_crc8(hdr), 8)
+
+    s = samples.astype(np.int64)
+    # subframe header: 0, 6-bit type, wasted-bits flag 0
+    if sub_type == "constant":
+        w.put(0, 1); w.put(0b000000, 6); w.put(0, 1)
+        w.put(int(s[0]) & 0xFFFF, 16)
+    elif sub_type == "verbatim":
+        w.put(0, 1); w.put(0b000001, 6); w.put(0, 1)
+        for v in s:
+            w.put(int(v) & 0xFFFF, 16)
+    elif sub_type == "fixed":
+        w.put(0, 1); w.put(0b001000 | order, 6); w.put(0, 1)
+        for v in s[:order]:
+            w.put(int(v) & 0xFFFF, 16)
+        if order == 0:
+            res = s
+        elif order == 1:
+            res = s[1:] - s[:-1]
+        elif order == 2:
+            res = s[2:] - 2 * s[1:-1] + s[:-2]
+        else:
+            raise ValueError("encoder supports fixed orders 0-2")
+        w.put(0b00, 2)    # residual method: 4-bit Rice
+        w.put(0, 4)       # partition order 0: one partition
+        zz = _rice_zigzag(res)
+        # smallest param that keeps the unary quotients sane
+        param = 0
+        mx = int(zz.max()) if len(zz) else 0
+        while param < 14 and (mx >> param) > 30:
+            param += 1
+        w.put(param, 4)
+        for z in zz:
+            q = int(z) >> param
+            w.put(0, q)   # q zero bits...
+            w.put(1, 1)   # ...then the terminating 1
+            if param:
+                w.put(int(z) & ((1 << param) - 1), param)
+    else:
+        raise ValueError(sub_type)
+    w.align()
+    frame = w.bytes()
+    return frame + _flac_crc16(frame).to_bytes(2, "big")
+
+
+def synthetic_flac_media(spark: SparkSession, n: int, seed: int = 42,
+                         sample_rate: int = 8000,
+                         partitions: int = 8) -> DataFrame:
+    """REAL native-FLAC payloads (mono PCM16, one fixed-blocksize
+    frame): fLaC marker + STREAMINFO (with the REAL MD5 of the
+    decoded PCM — the decoder verifies it) + a frame whose subframe
+    cycles through the three shapes: i%3==0 CONSTANT, i%3==1 FIXED
+    order 1, i%3==2 FIXED order 2. FLAC is lossless, so samples follow
+    a closed arithmetic form the oracle reproduces exactly:
+
+        n_samples(i) = 64 + (i * 37) % 192
+        sample(i, k) = ((i*6151 + kk*92821 + seed) % 65536) - 32768
+          with kk = 0 for the constant payloads (i % 3 == 0), else k
+    """
+    import hashlib
+    import struct as _struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                ns = 64 + (i * 37) % 192
+                k = np.arange(ns, dtype=np.int64)
+                kk = np.zeros(ns, dtype=np.int64) if i % 3 == 0 else k
+                s = ((i * 6151 + kk * 92821 + seed) % 65536 - 32768)
+                md5 = hashlib.md5(
+                    s.astype("<i2").tobytes()).digest()
+                shape = ["constant", "fixed", "fixed"][i % 3]
+                order = [0, 1, 2][i % 3]
+                frame = _flac_encode_frame(s, ns, shape, order)
+                si = _MsbWriter()
+                si.put(1, 1)          # last metadata block
+                si.put(0, 7)          # STREAMINFO
+                si.put(34, 24)
+                si.put(ns, 16)        # min blocksize
+                si.put(ns, 16)        # max blocksize
+                si.put(0, 24)         # min framesize unknown
+                si.put(0, 24)         # max framesize unknown
+                si.put(sample_rate, 20)
+                si.put(0, 3)          # channels - 1
+                si.put(15, 5)         # bps - 1
+                si.put(ns, 36)        # total samples
+                payload = (b"fLaC" + si.bytes() + md5 + frame)
+                rows.append({"media_id": i, "kind": "audio",
+                             "payload": payload, "mime": "audio/flac",
+                             "width": None, "height": None,
+                             "duration_ms": ns * 1000 // sample_rate})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _flac_decode(raw: bytes) -> tuple[int, np.ndarray]:
+    """Native-FLAC decode to (sample_rate, int64 samples) — marker +
+    STREAMINFO parse, metadata-block walk, frame sync, CRC-8 and
+    CRC-16 VERIFICATION, subframe decode (CONSTANT / VERBATIM / FIXED
+    orders 0-4 with Rice residuals incl. the escape code), fixed-
+    predictor reconstruction, and STREAMINFO-MD5 verification of the
+    decoded PCM. Mono 16-bit; LPC subframes, stereo decorrelation,
+    and rice2 (5-bit) residual method raise NotImplementedError."""
+    import hashlib
+
+    if raw[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sr = nchan = bps = total = None
+    md5_want = None
+    while True:
+        hdr = raw[pos:pos + 4]
+        last = hdr[0] >> 7
+        btype = hdr[0] & 0x7F
+        blen = int.from_bytes(hdr[1:4], "big")
+        body = raw[pos + 4:pos + 4 + blen]
+        pos += 4 + blen
+        if btype == 0:
+            r = _MsbReader(body)
+            r.bits(16); r.bits(16); r.bits(24); r.bits(24)
+            sr = r.bits(20)
+            nchan = r.bits(3) + 1
+            bps = r.bits(5) + 1
+            total = r.bits(36)
+            md5_want = body[18:34]
+        if last:
+            break
+    if sr is None:
+        raise ValueError("no STREAMINFO")
+    if nchan != 1 or bps != 16:
+        raise NotImplementedError("mono 16-bit only")
+
+    out = []
+    while pos < len(raw) and len(out) < total:
+        r = _MsbReader(raw, pos * 8)
+        if r.bits(14) != 0x3FFE:
+            raise ValueError("lost frame sync")
+        r.bits(1)                      # reserved
+        r.bits(1)                      # blocking strategy
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        ch_code = r.bits(4)
+        ss_code = r.bits(3)
+        r.bits(1)
+        if ch_code != 0:
+            raise NotImplementedError("stereo decorrelation")
+        if ss_code != 0b100:
+            raise NotImplementedError("only 16-bit sample size")
+        # coded number: UTF-8-style — lead byte determines length
+        lead = r.bits(8)
+        extra = 0
+        if lead >= 0xC0:
+            b0 = lead
+            while b0 & 0x40:
+                extra += 1
+                b0 <<= 1
+            for _ in range(extra):
+                r.bits(8)
+        if bs_code == 0b0110:
+            bs = r.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.bits(16) + 1
+        elif bs_code == 0:
+            raise ValueError("reserved blocksize code")
+        else:
+            bs = {1: 192}.get(bs_code, 576 << (bs_code - 2)) \
+                if bs_code <= 5 else 256 << (bs_code - 8)
+        if sr_code in (0b1100,):
+            r.bits(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.bits(16)
+        hdr_end_bits = r.bitpos
+        if hdr_end_bits % 8:
+            raise ValueError("misaligned frame header")
+        crc8 = r.bits(8)
+        if _flac_crc8(raw[pos:hdr_end_bits // 8]) != crc8:
+            raise ValueError("frame header CRC-8 mismatch")
+
+        # one mono subframe
+        if r.bits(1):
+            raise ValueError("subframe reserved bit set")
+        stype = r.bits(6)
+        wasted = 0
+        if r.bits(1):
+            wasted = 1 + r.unary()
+        eff = 16 - wasted
+
+        def signed(v, nb):
+            return v - (1 << nb) if v >= (1 << (nb - 1)) else v
+
+        if stype == 0b000000:                      # CONSTANT
+            s = np.full(bs, signed(r.bits(eff), eff), dtype=np.int64)
+        elif stype == 0b000001:                    # VERBATIM
+            s = np.fromiter((signed(r.bits(eff), eff)
+                             for _ in range(bs)), np.int64, bs)
+        elif 0b001000 <= stype <= 0b001100:        # FIXED order 0-4
+            order = stype & 7
+            warm = [signed(r.bits(eff), eff) for _ in range(order)]
+            method = r.bits(2)
+            if method == 1:
+                raise NotImplementedError("rice2 residual method")
+            if method > 1:
+                raise ValueError("reserved residual method")
+            po = r.bits(4)
+            nres = bs - order
+            res = np.empty(nres, dtype=np.int64)
+            idx = 0
+            for part in range(1 << po):
+                cnt = (bs >> po) - (order if part == 0 else 0)
+                param = r.bits(4)
+                if param == 0b1111:                # escape: raw bits
+                    nb = r.bits(5)
+                    for _ in range(cnt):
+                        res[idx] = signed(r.bits(nb), nb) if nb else 0
+                        idx += 1
+                else:
+                    for _ in range(cnt):
+                        q = r.unary()
+                        zz = (q << param) | (r.bits(param) if param
+                                             else 0)
+                        res[idx] = (zz >> 1) ^ -(zz & 1)
+                        idx += 1
+            s = np.empty(bs, dtype=np.int64)
+            s[:order] = warm
+            for n_ in range(order, bs):
+                if order == 0:
+                    pred = 0
+                elif order == 1:
+                    pred = s[n_ - 1]
+                elif order == 2:
+                    pred = 2 * s[n_ - 1] - s[n_ - 2]
+                elif order == 3:
+                    pred = 3 * s[n_ - 1] - 3 * s[n_ - 2] + s[n_ - 3]
+                else:
+                    pred = (4 * s[n_ - 1] - 6 * s[n_ - 2]
+                            + 4 * s[n_ - 3] - s[n_ - 4])
+                s[n_] = pred + res[n_ - order]
+        elif stype >= 0b100000:
+            raise NotImplementedError("LPC subframes")
+        else:
+            raise ValueError(f"reserved subframe type {stype:#08b}")
+        if wasted:
+            s = s << wasted
+        r.align()
+        frame_end = r.bitpos // 8
+        crc16 = int.from_bytes(raw[frame_end:frame_end + 2], "big")
+        if _flac_crc16(raw[pos:frame_end]) != crc16:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = frame_end + 2
+        out.append(s)
+
+    samples = (np.concatenate(out) if out
+               else np.empty(0, dtype=np.int64))[:total]
+    if md5_want and md5_want != b"\x00" * 16:
+        got = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+        if got != md5_want:
+            raise ValueError("decoded PCM fails the STREAMINFO MD5")
+    return sr, samples
+
+
+def flac_amplitude_stats(df: DataFrame) -> DataFrame:
+    """REAL decode of native-FLAC payloads to the same integer
+    amplitude statistics as the WAV path — one mapInPandas pass; the
+    DuckDB oracle re-derives every sample arithmetically, so frame
+    sync, both CRCs, Rice/unary decode, fixed-predictor
+    reconstruction, AND the PCM MD5 check are all inside the strict
+    gate (a lossless codec needs no exactness trick)."""
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, s = _flac_decode(bytes(payload))
+                a = np.abs(s)
+                out.append({"media_id": int(mid),
+                            "n_samples": int(s.size),
+                            "sample_rate": int(sr),
+                            "sum_abs": int(a.sum()),
+                            "max_abs": int(a.max()) if s.size else 0,
+                            "sum_sq": int((s * s).sum())})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        per_batch,
+        schema="media_id long, n_samples long, sample_rate long, "
+               "sum_abs long, max_abs long, sum_sq long")

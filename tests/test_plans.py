@@ -320,3 +320,12 @@ def test_multimodal_jpeg_zero_exchange_pipeline(spark):
     df = jpeg_pixel_stats(synthetic_jpeg_media(spark, 16, partitions=4))
     plan = _plan(df)
     assert "Exchange" not in plan
+
+
+def test_multimodal_flac_zero_exchange_pipeline(spark):
+    from sketchlib.multimodal import (flac_amplitude_stats,
+                                      synthetic_flac_media)
+    df = flac_amplitude_stats(synthetic_flac_media(spark, 12,
+                                                   partitions=4))
+    plan = _plan(df)
+    assert "Exchange" not in plan
