@@ -236,3 +236,62 @@ def stateful_sketch_stream(stream_df: DataFrame, key_col: str,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def minhash_delta_sink(index_dir: str, pairs_dir: str,
+                       threshold: float = 0.8, n_perm: int = 64,
+                       bands: int = 16, shingle_n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """``foreachBatch`` sink for STREAMING near-dup detection — the
+    continuous form of the daily delta-dedup loop (dedup.py
+    minhash_dedup_delta): every micro-batch is treated as a delta
+    against the PERSISTENT band+shingle index on disk; its near-dup
+    pairs (batch x history and batch x batch) land under
+    ``pairs_dir/epoch=<id>/``, then the batch's own band and shingle
+    rows append to the index so later micro-batches match against it.
+
+    Exactly-once: the pairs write is an epoch-keyed OVERWRITE
+    (idempotent under replay), and an ``_epoch_<id>`` marker written
+    AFTER the index append makes a replayed epoch skip entirely. A
+    crash between the append and the marker can leave duplicate index
+    rows for one epoch — harmless for candidates (distinct) and
+    neutralized for the Jaccard sizes by the ``distinct()`` applied to
+    the shingle index on read. (A production deployment replaces the
+    marker file with a transactional table commit — the
+    iceberg.catalog_ingest_sink epoch-property pattern; the dedup
+    semantics are identical.)"""
+    import os
+
+    from sketchlib.dedup import (minhash_band_index, minhash_dedup_delta,
+                                 shingles)
+
+    band_p = os.path.join(index_dir, "bands")
+    sh_p = os.path.join(index_dir, "shingles")
+
+    def per_batch(df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(index_dir, f"_epoch_{int(epoch_id)}")
+        if os.path.exists(marker):
+            return                      # replayed, fully committed
+        spark = df.sparkSession
+        batch = df.select(id_col, text_col)
+        have_idx = os.path.exists(band_p)
+        if have_idx:
+            band_idx = spark.read.parquet(band_p)
+            sh_idx = spark.read.parquet(sh_p).distinct()
+        else:
+            band_idx = spark.createDataFrame(
+                [], f"{id_col} long, band int, key long")
+            sh_idx = spark.createDataFrame([], f"{id_col} long, sh64 long")
+        pairs = minhash_dedup_delta(batch, band_idx, sh_idx, threshold,
+                                    n_perm, bands, shingle_n,
+                                    id_col, text_col)
+        (pairs.write.mode("overwrite")
+         .parquet(os.path.join(pairs_dir, f"epoch={int(epoch_id)}")))
+        sh_new = shingles(batch, shingle_n, id_col, text_col, hashed=True)
+        sh_new.write.mode("append").parquet(sh_p)
+        (minhash_band_index(None, n_perm, bands, shingle_n, id_col,
+                            text_col, shingle_df=sh_new)
+         .write.mode("append").parquet(band_p))
+        open(marker, "w").close()
+
+    return per_batch

@@ -61,3 +61,52 @@ def test_streaming_dedup_watermarked(spark, tmp_path):
 
     got = spark.sql("SELECT text FROM dedup_wm_sink").toPandas()
     assert sorted(got["text"]) == ["a", "b", "c"]
+
+
+def test_streaming_minhash_delta_matches_batch_recompute(spark, tmp_path):
+    """Streaming near-dup detection (round 5): each micro-batch dedups
+    against the persistent band+shingle index and then appends to it.
+    Over two micro-batches the union of emitted pairs must equal the
+    batch-mode full recompute over everything — including cross-batch
+    pairs found when the LATER member arrives."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.dedup import minhash_dedup_pairs
+    from sketchlib.streaming import minhash_delta_sink
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    texts_a = [f"{base} variant {i}" for i in range(5)]
+    texts_a += texts_a[:2]                       # in-batch exact dups
+    texts_b = [f"{base} variant {i}" for i in (0, 3)]  # cross-batch dups
+    texts_b += [f"totally different text about {i} ships sailing the "
+                f"wide open sea under a red morning sky {i}"
+                for i in range(3)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": range(len(texts_a)),
+                  "text": texts_a}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"doc_id": range(100, 100 + len(texts_b)),
+                  "text": texts_b}).to_parquet(src / "b.parquet")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src)))
+    sink = minhash_delta_sink(str(tmp_path / "index"),
+                              str(tmp_path / "pairs"), threshold=0.9)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.read.option("basePath", str(tmp_path / "pairs"))
+           .parquet(str(tmp_path / "pairs")).collect()}
+    all_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_a)]
+        + [(100 + i, t) for i, t in enumerate(texts_b)],
+        "doc_id long, text string")
+    want = {(r["id_a"], r["id_b"]) for r in
+            minhash_dedup_pairs(all_docs, threshold=0.9).collect()}
+    assert got == want
+    assert any(a < 100 <= b for a, b in got)     # cross-batch pair found
